@@ -1,0 +1,604 @@
+"""HNSW index with a flat-array representation, host oracle core, and TPU delegates.
+
+This is a ground-up re-design of the reference's ``Hnsw<T,D>`` (reference
+``src/hnsw.rs:739-1636``) for TPU execution:
+
+  * The reference's pointer graph (``Arc<Point>`` + per-point ``RwLock`` neighbor lists,
+    reference ``src/hnsw.rs:162-259``) becomes **dense per-layer tables**:
+    ``ids: int32[cap, width_l]`` / ``dists: float32[cap, width_l]`` padded with ``-1``,
+    where ``width_0 = 2*M`` and ``width_l = M`` for l>0 (mirroring the asymmetric
+    fan-out of reference ``src/hnsw.rs:1177-1182``). Rows are indexed by a global
+    internal point index (insertion order), so the same arrays serve the host oracle,
+    the JAX batched kernels, and persistence.
+  * The **host oracle** in this file implements the exact serial semantics of the
+    reference — ``search_layer`` (``src/hnsw.rs:922-1064``), ``insert``
+    (``:1066-1215``), ``select_neighbours`` (``:1299-1421``),
+    ``reverse_update_neighborhood_simple`` (``:1241-1289``), ``search_filter``
+    (``:1487-1599``) — including its quirks (upper-layer "projection" links, backlinks
+    recorded at the *new point's* level ``l_n``, one-scan-per-layer greedy descent).
+    It is the correctness source of truth for the batched TPU paths.
+  * Batched query/build execution is delegated to ``hnsw_tpu.ops.beam_search`` and
+    ``hnsw_tpu.ops.insert_rounds`` which run as jitted XLA/Pallas programs over the
+    same arrays.
+
+No code is shared with the reference; only observable behavior is reproduced.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import heapq
+from typing import Callable, Iterable, Optional, Sequence
+
+import numpy as np
+
+from ..ops.distances import Metric, get_metric
+from ..utils.rng import LevelSampler, DEFAULT_SEED
+from ..filter import resolve_filter
+
+NB_LAYER_MAX = 16  # reference src/hnsw.rs:42
+MAX_NB_CONNECTION = 256  # reference src/hnsw.rs:784-787
+
+
+@dataclasses.dataclass(frozen=True)
+class Neighbour:
+    """Search answer, mirroring reference ``Neighbour`` (``src/hnsw.rs:98-125``):
+    external id, distance to the query, and internal (layer, rank) coordinate."""
+
+    d_id: int
+    distance: float
+    p_id: tuple[int, int]
+
+    def __lt__(self, other):  # ordered by distance, as reference src/flatten.rs:19-43
+        return self.distance < other.distance
+
+
+class _LayerTable:
+    """Dense neighbor table for one layer: row per global point index."""
+
+    __slots__ = ("ids", "dists", "counts", "width")
+
+    def __init__(self, cap: int, width: int):
+        self.width = width
+        self.ids = np.full((cap, width), -1, dtype=np.int32)
+        self.dists = np.full((cap, width), np.inf, dtype=np.float32)
+        self.counts = np.zeros(cap, dtype=np.int32)
+
+    def grow(self, new_cap: int):
+        pad = new_cap - self.ids.shape[0]
+        if pad <= 0:
+            return
+        self.ids = np.concatenate([self.ids, np.full((pad, self.width), -1, np.int32)])
+        self.dists = np.concatenate([self.dists, np.full((pad, self.width), np.inf, np.float32)])
+        self.counts = np.concatenate([self.counts, np.zeros(pad, np.int32)])
+
+    def row(self, i: int):
+        c = self.counts[i]
+        return self.ids[i, :c], self.dists[i, :c]
+
+    def set_row(self, i: int, ids, dists):
+        n = len(ids)
+        assert n <= self.width, (n, self.width)
+        self.ids[i, :n] = ids
+        self.dists[i, :n] = dists
+        self.ids[i, n:] = -1
+        self.dists[i, n:] = np.inf
+        self.counts[i] = n
+
+
+class Hnsw:
+    """TPU-native HNSW index.
+
+    Parameters mirror reference ``Hnsw::new`` (``src/hnsw.rs:766-787``):
+    ``max_nb_connection`` (M), ``max_elements`` (capacity hint), ``max_layer`` (≤16),
+    ``ef_construction``, and the distance (name, :class:`Metric`, or callable).
+    """
+
+    def __init__(self, max_nb_connection: int = 16, max_elements: int = 10_000,
+                 max_layer: int = 16, ef_construction: int = 200, dist="L2",
+                 dtype=np.float32, seed: int = DEFAULT_SEED, level_scale: float | None = None):
+        if max_nb_connection > MAX_NB_CONNECTION:
+            raise ValueError(f"max_nb_connection must be <= {MAX_NB_CONNECTION}")
+        if not (0 < max_layer <= NB_LAYER_MAX):
+            raise ValueError(f"max_layer must be in (0, {NB_LAYER_MAX}]")
+        self.max_nb_connection = int(max_nb_connection)
+        self.max_layer = int(max_layer)
+        self.ef_construction = int(ef_construction)
+        self.metric: Metric = get_metric(dist)
+        self.dtype = np.dtype(dtype)
+        self.extend_candidates = False  # reference default, src/hnsw.rs:806
+        self.keep_pruned = False  # reference default, src/hnsw.rs:807
+        self.searching = False  # reference src/hnsw.rs:759-760 (advisory flag)
+        self.datamap_opt = False
+        self.level_sampler = LevelSampler(max_nb_connection, max_layer, seed=seed, scale=level_scale)
+
+        self._cap = max(int(max_elements), 8)
+        self._dim: Optional[int] = None
+        self._data: Optional[np.ndarray] = None  # [cap, dim] of self.dtype
+        self._origin = np.full(self._cap, -1, dtype=np.int64)
+        self._level = np.full(self._cap, -1, dtype=np.int32)
+        self._rank_in_layer = np.full(self._cap, -1, dtype=np.int32)
+        self._layers: dict[int, _LayerTable] = {}
+        self._layer_npoints = np.zeros(NB_LAYER_MAX, dtype=np.int64)  # points with level == l
+        self._entry: int = -1
+        self._nb_point: int = 0
+        self._version: int = 0  # bumped on any mutation; invalidates device caches
+        self._device_cache = None
+
+    # ------------------------------------------------------------------ accessors ---
+
+    def __len__(self):
+        return self._nb_point
+
+    def get_nb_point(self) -> int:
+        return self._nb_point
+
+    def get_ef_construction(self) -> int:
+        return self.ef_construction
+
+    def get_max_nb_connection(self) -> int:
+        return self.max_nb_connection
+
+    def get_max_level(self) -> int:
+        return self.max_layer
+
+    def get_max_level_observed(self) -> int:
+        # reference: level of the entry point (src/hnsw.rs:474-481)
+        return int(self._level[self._entry]) if self._entry >= 0 else 0
+
+    def get_distance_name(self) -> str:
+        return self.metric.name
+
+    def get_distance(self) -> Metric:
+        return self.metric
+
+    def set_extend_candidates(self, flag: bool):
+        self.extend_candidates = bool(flag)
+
+    def set_keeping_pruned(self, flag: bool):
+        self.keep_pruned = bool(flag)
+
+    def set_searching_mode(self, flag: bool):
+        self.searching = bool(flag)
+
+    def set_datamap(self, flag: bool):
+        self.datamap_opt = bool(flag)
+
+    def modify_level_scale(self, factor: float):
+        # reference warns when called on a non-empty index (src/hnsw.rs:884-887)
+        if self._nb_point > 0:
+            import logging
+            logging.getLogger(__name__).warning(
+                "modify_level_scale called on a non-empty index; levels already sampled keep the old scale")
+        self.level_sampler.set_scale_modification(factor)
+
+    def get_level_scale(self) -> float:
+        return self.level_sampler.get_scale()
+
+    def get_layer_nb_point(self, layer: int) -> int:
+        return int(self._layer_npoints[layer]) if layer < NB_LAYER_MAX else 0
+
+    def dump_layer_info(self):
+        for l in range(self.get_max_level_observed() + 1):
+            print(f" layer {l} : length : {self._layer_npoints[l]}")
+
+    def get_point_id(self, idx: int) -> tuple[int, int]:
+        return (int(self._level[idx]), int(self._rank_in_layer[idx]))
+
+    def get_vector(self, idx: int) -> np.ndarray:
+        return self._data[idx]
+
+    def get_origin_id(self, idx: int) -> int:
+        return int(self._origin[idx])
+
+    def iter_points(self) -> Iterable[tuple[int, np.ndarray]]:
+        """Yield (origin_id, vector) over all points, layer 0 upward then by rank —
+        the traversal order of reference ``IterPoint`` (``src/hnsw.rs:629-729``)."""
+        order = self._iteration_order()
+        for i in order:
+            yield int(self._origin[i]), self._data[i]
+
+    def iter_layer(self, layer: int) -> Iterable[tuple[int, np.ndarray]]:
+        for i in np.flatnonzero(self._level[: self._nb_point] == layer):
+            yield int(self._origin[i]), self._data[i]
+
+    def _iteration_order(self) -> np.ndarray:
+        n = self._nb_point
+        lv = self._level[:n]
+        rk = self._rank_in_layer[:n]
+        return np.lexsort((rk, lv))
+
+    def neighbour_row(self, idx: int, layer: int):
+        t = self._layers.get(layer)
+        if t is None:
+            return np.empty(0, np.int32), np.empty(0, np.float32)
+        return t.row(idx)
+
+    # ---------------------------------------------------------------- allocation ----
+
+    def _ensure_cap(self, need: int):
+        if need <= self._cap:
+            return
+        new_cap = self._cap
+        while new_cap < need:
+            new_cap *= 2
+        if self._data is not None:
+            self._data = np.concatenate([self._data, np.zeros((new_cap - self._cap, self._dim), self.dtype)])
+        for a_name in ("_origin", "_level", "_rank_in_layer"):
+            old = getattr(self, a_name)
+            pad = np.full(new_cap - self._cap, -1, old.dtype)
+            setattr(self, a_name, np.concatenate([old, pad]))
+        for t in self._layers.values():
+            t.grow(new_cap)
+        self._cap = new_cap
+
+    def _layer_width(self, layer: int) -> int:
+        return 2 * self.max_nb_connection if layer == 0 else self.max_nb_connection
+
+    def _layer_table(self, layer: int) -> _LayerTable:
+        t = self._layers.get(layer)
+        if t is None:
+            t = _LayerTable(self._cap, self._layer_width(layer))
+            self._layers[layer] = t
+        return t
+
+    def _set_dim(self, dim: int):
+        if self._dim is None:
+            self._dim = int(dim)
+            self._data = np.zeros((self._cap, self._dim), self.dtype)
+        elif dim != self._dim:
+            raise ValueError(f"dimension mismatch: index built with dim={self._dim}, got {dim}")
+
+    def _allocate(self, data: np.ndarray, origin_id: int, level: Optional[int] = None) -> int:
+        """Reference ``generate_new_point`` (``src/hnsw.rs:503-531``): sample the level,
+        assign (level, rank) coordinate, store the vector."""
+        self._set_dim(len(data))
+        self._ensure_cap(self._nb_point + 1)
+        idx = self._nb_point
+        lv = self.level_sampler.generate_one() if level is None else int(level)
+        self._data[idx] = np.asarray(data, dtype=self.dtype)
+        self._origin[idx] = origin_id
+        self._level[idx] = lv
+        self._rank_in_layer[idx] = self._layer_npoints[lv]
+        self._layer_npoints[lv] += 1
+        self._nb_point += 1
+        self._version += 1
+        return idx
+
+    # ------------------------------------------------------------- search_layer -----
+
+    def _dists_to(self, q: np.ndarray, idxs: np.ndarray) -> np.ndarray:
+        return self.metric.np_batch(q, self._data[idxs]).astype(np.float64)
+
+    def _search_layer(self, q: np.ndarray, ep: int, ef: int, layer: int,
+                      filt: Optional[Callable[[int], bool]] = None) -> list[tuple[float, int]]:
+        """Greedy best-first search within one layer — exact semantics of reference
+        ``search_layer`` (``src/hnsw.rs:922-1064``). Returns up to ``ef`` (distance,
+        idx) pairs, unsorted (heap order)."""
+        if self.get_layer_nb_point(layer) == 0:
+            return []
+        table = self._layers.get(layer)
+        d0 = float(self.metric.np_batch(q, self._data[ep][None, :])[0])
+        visited = {ep}
+        candidates = [(d0, ep)]  # min-heap on distance
+        results = [(-d0, ep)]  # max-heap via negation, capped at ef
+        while candidates:
+            c_d, c = heapq.heappop(candidates)
+            f_d = -results[0][0]
+            if c_d > f_d:
+                if filt is None:
+                    break
+                elif len(results) >= ef:
+                    # reference retains only filter-passing results and keeps scanning
+                    results = [(nd, i) for (nd, i) in results if filt(int(self._origin[i]))]
+                    heapq.heapify(results)
+            if table is None:
+                continue
+            nb_ids, _ = table.row(c)
+            fresh = [int(e) for e in nb_ids if int(e) not in visited]
+            if not fresh:
+                continue
+            visited.update(fresh)
+            if not results:
+                return results
+            e_dists = self._dists_to(q, np.array(fresh, dtype=np.int64))
+            for e, e_d in zip(fresh, e_dists):
+                e_d = float(e_d)
+                f_d = -results[0][0] if results else np.inf
+                if not results:
+                    return results
+                if e_d < f_d or len(results) < ef:
+                    heapq.heappush(candidates, (e_d, e))
+                    if filt is None:
+                        heapq.heappush(results, (-e_d, e))
+                    else:
+                        if filt(int(self._origin[e])):
+                            if len(results) == 1 and not filt(int(self._origin[results[0][1]])):
+                                results.clear()
+                            heapq.heappush(results, (-e_d, e))
+                    if len(results) > ef:
+                        heapq.heappop(results)
+        return results
+
+    # ------------------------------------------------------------ select_neighbours --
+
+    def _select_neighbours(self, q: np.ndarray, candidates: list[tuple[float, int]],
+                           nb_asked: int, extend: bool, layer: int,
+                           keep_pruned: bool) -> list[tuple[float, int]]:
+        """Heuristic neighbor selection (paper Alg. 4) — semantics of reference
+        ``select_neighbours`` (``src/hnsw.rs:1299-1421``). ``candidates`` are
+        (dist, idx); returns (dist, idx) list (diversity-kept prefix sorted by
+        distance, pruned refills appended)."""
+        cand = sorted(candidates)
+        if len(cand) <= nb_asked and not extend:
+            return cand
+        if len(cand) <= nb_asked and extend:
+            seen = {i for _, i in cand}
+            table = self._layers.get(layer)
+            extra = []
+            if table is not None:
+                for _, i in list(cand):
+                    nb_ids, _ = table.row(i)
+                    for e in nb_ids:
+                        e = int(e)
+                        if e not in seen:
+                            seen.add(e)
+                            extra.append(e)
+            if extra:
+                e_dists = self._dists_to(q, np.array(extra, dtype=np.int64))
+                cand = sorted(cand + list(zip(map(float, e_dists), extra)))
+        kept: list[tuple[float, int]] = []
+        discarded: list[tuple[float, int]] = []
+        for e_d, e in cand:
+            if len(kept) >= nb_asked:
+                break
+            ok = True
+            if kept:
+                kept_idx = np.array([i for _, i in kept], dtype=np.int64)
+                dd = self.metric.np_batch(self._data[e], self._data[kept_idx])
+                ok = not bool((dd <= e_d).any())
+            if ok:
+                kept.append((e_d, e))
+            elif keep_pruned:
+                heapq.heappush(discarded, (e_d, e))
+        while discarded and len(kept) < nb_asked:
+            kept.append(heapq.heappop(discarded))
+        return kept
+
+    # ------------------------------------------------------------------- insert -----
+
+    def insert(self, data, origin_id: Optional[int] = None):
+        """Serial insert — reference ``insert_slice`` (``src/hnsw.rs:1077-1215``).
+        Accepts ``insert((vec, id))`` (reference tuple style) or ``insert(vec, id)``."""
+        if origin_id is None:
+            data, origin_id = data
+        data = np.asarray(data, dtype=self.dtype)
+        idx = self._allocate(data, origin_id)
+        level = int(self._level[idx])
+        if self._nb_point == 1 or self._entry < 0:
+            self._entry = idx
+            return idx
+        max_level_observed = int(self._level[self._entry])
+        ep = self._entry
+        dist_to_entry = float(self.metric.np_batch(data, self._data[ep][None, :])[0])
+        # upper-layer greedy descent with ef=1, recording "projection" links
+        # (reference src/hnsw.rs:1114-1155)
+        for l in range(max_level_observed, level, -1):
+            res = self._search_layer(data, ep, 1, l, None)
+            if res:
+                e_d, e_idx = -res[0][0], res[0][1]
+                t = self._layer_table(l)
+                if t.counts[idx] < self.max_nb_connection:
+                    ids, dists = t.row(idx)
+                    t.set_row(idx, np.append(ids, e_idx), np.append(dists, e_d))
+                if e_d < dist_to_entry:
+                    ep = e_idx
+                    dist_to_entry = e_d
+        # construction loop, layers level..0 (reference src/hnsw.rs:1156-1205)
+        for l in range(level, -1, -1):
+            res = self._search_layer(data, ep, self.ef_construction, l, None)
+            if not res:
+                continue
+            cand = [(-nd, i) for nd, i in res]
+            if l == 0:
+                nb_conn, extend = 2 * self.max_nb_connection, self.extend_candidates
+            else:
+                nb_conn, extend = self.max_nb_connection, False
+            neighbours = self._select_neighbours(data, cand, nb_conn, extend, l, self.keep_pruned)
+            neighbours.sort()
+            t = self._layer_table(l)
+            t.set_row(idx, np.array([i for _, i in neighbours], np.int32),
+                      np.array([d for d, _ in neighbours], np.float32))
+            if neighbours:
+                ep = neighbours[0][1]
+        self._reverse_update(idx, level)
+        if level > int(self._level[self._entry]):
+            self._entry = idx  # reference check_entry_point (src/hnsw.rs:534-557)
+        self._version += 1
+        return idx
+
+    def _reverse_update(self, idx: int, level: int):
+        """Back-link insertion — reference ``reverse_update_neighborhood_simple``
+        (``src/hnsw.rs:1241-1289``). Backlinks always recorded at layer ``l_n`` =
+        the new point's level, deduped, sorted, shrunk to the layer threshold."""
+        l_n = level
+        threshold = 2 * self.max_nb_connection if l_n == 0 else self.max_nb_connection
+        t_ln = self._layer_table(l_n)
+        for l in range(level, -1, -1):
+            t = self._layers.get(l)
+            if t is None:
+                continue
+            q_ids, q_dists = t.row(idx)
+            for q, d in zip(q_ids, q_dists):
+                q = int(q)
+                if q == idx:
+                    continue
+                ids, dists = t_ln.row(q)
+                if idx in ids:
+                    continue
+                ids = np.append(ids, idx)
+                dists = np.append(dists, np.float32(d))
+                order = np.argsort(dists, kind="stable")
+                ids, dists = ids[order], dists[order]
+                if len(ids) > threshold:
+                    ids, dists = ids[:-1], dists[:-1]
+                t_ln.set_row(q, ids, dists)
+
+    # ------------------------------------------------------------------- search -----
+
+    def search_filter(self, data, knbn: int, ef_arg: int, filter=None) -> list[Neighbour]:
+        """Production search path — reference ``search_filter``
+        (``src/hnsw.rs:1487-1599``): one-scan-per-layer greedy descent from the entry
+        point's level down to layer 1, then ``search_layer`` at the lowest non-empty
+        layer with ``ef = max(ef, knbn)``."""
+        if self._entry < 0:
+            return []
+        filt = resolve_filter(filter)
+        data = np.asarray(data, dtype=self.dtype)
+        pivot = self._entry
+        dist_to_entry = float(self.metric.np_batch(data, self._data[pivot][None, :])[0])
+        for layer in range(int(self._level[self._entry]), 0, -1):
+            t = self._layers.get(layer)
+            if t is None:
+                continue
+            nb_ids, _ = t.row(pivot)
+            if len(nb_ids) == 0:
+                continue
+            dd = self._dists_to(data, nb_ids.astype(np.int64))
+            j = int(np.argmin(dd))
+            if dd[j] < dist_to_entry:
+                dist_to_entry = float(dd[j])
+                pivot = int(nb_ids[j])
+        ef = max(ef_arg, knbn)
+        layer_to_search = 0
+        while self.get_layer_nb_point(layer_to_search) == 0:
+            layer_to_search += 1
+        res = self._search_layer(data, pivot, ef, layer_to_search, filt)
+        res_sorted = sorted([(-nd, i) for nd, i in res])
+        last = min(knbn, ef, len(res_sorted))
+        out = []
+        for d, i in res_sorted[:last]:
+            oid = int(self._origin[i])
+            if filt is None or filt(oid):
+                out.append(Neighbour(oid, float(d), self.get_point_id(i)))
+        return out
+
+    def search(self, data, knbn: int, ef_arg: int) -> list[Neighbour]:
+        return self.search_filter(data, knbn, ef_arg, None)
+
+    def search_possible_filter(self, data, knbn, ef_arg, filter=None):
+        return self.search_filter(data, knbn, ef_arg, filter)
+
+    # ---------------------------------------------------- batched / parallel paths ---
+
+    def parallel_insert(self, data_with_ids: Sequence[tuple], mode: str = "auto",
+                        batch_size: Optional[int] = None):
+        """Batched insertion — capability analog of reference ``parallel_insert``
+        (``src/hnsw.rs:1224-1238``). ``mode="device"`` runs synchronized batched
+        rounds on the accelerator (intra-round points don't see each other — the same
+        "small deviation" contract the reference documents for its thread races,
+        ``src/hnsw.rs:1222-1223``); ``mode="serial"`` loops the exact serial oracle;
+        ``"auto"`` picks by size."""
+        pairs = [(np.asarray(v, dtype=self.dtype), int(i)) for v, i in data_with_ids]
+        if mode == "auto":
+            mode = "device" if len(pairs) >= 2048 else "serial"
+        if mode == "serial":
+            for v, i in pairs:
+                self.insert(v, i)
+            return
+        from ..ops.insert_rounds import device_parallel_insert
+        device_parallel_insert(self, pairs, batch_size=batch_size)
+
+    def parallel_insert_slice(self, data_with_ids, **kw):
+        self.parallel_insert(data_with_ids, **kw)
+
+    def parallel_search(self, queries, knbn: int, ef: int, filter=None,
+                        mode: str = "auto") -> list[list[Neighbour]]:
+        """Batched search — analog of reference ``parallel_search``
+        (``src/hnsw.rs:1601-1635``); answers are returned in input order. On device the
+        whole batch executes as one jitted beam-search program."""
+        queries = np.asarray(queries, dtype=self.dtype)
+        if queries.ndim == 1:
+            queries = queries[None, :]
+        if mode == "auto":
+            mode = "device" if (len(queries) >= 4 and self._nb_point >= 64) else "serial"
+        if mode == "serial":
+            return [self.search_filter(q, knbn, ef, filter) for q in queries]
+        ids, dists = self.search_batch(queries, knbn, ef, filter=filter)
+        out = []
+        for b in range(ids.shape[0]):
+            row = []
+            for j in range(ids.shape[1]):
+                i = int(ids[b, j])
+                if i < 0:
+                    continue
+                row.append(Neighbour(int(self._origin[i]), float(dists[b, j]), self.get_point_id(i)))
+            out.append(row)
+        return out
+
+    def search_batch(self, queries, knbn: int, ef: int, filter=None):
+        """Device batched search over the dense graph: returns (internal_ids[B,k],
+        dists[B,k]); ids are ``-1`` padded."""
+        from ..ops.beam_search import device_search_batch
+        return device_search_batch(self, np.asarray(queries, dtype=self.dtype), knbn, ef, filter)
+
+    # ------------------------------------------------------------- device graph -----
+
+    def device_graph(self):
+        """The dense arrays as device-resident jax arrays (cached per version)."""
+        from ..ops.graph_arrays import GraphArrays
+        if self._device_cache is None or self._device_cache.version != self._version:
+            self._device_cache = GraphArrays.from_host(self)
+        return self._device_cache
+
+    # --------------------------------------------------------------- persistence ----
+
+    def file_dump(self, path, basename: str) -> str:
+        """Reference-format dump (``src/api.rs:70-94``); returns the (possibly
+        uniquified) basename."""
+        from ..io.hnswio import file_dump as _fd
+        return _fd(self, path, basename)
+
+    def save_native(self, path: str):
+        from ..io.hnswio import save_native as _sn
+        _sn(self, path)
+
+    # ------------------------------------------------------------------ equality ----
+
+    def _pid_index(self) -> dict[tuple[int, int], int]:
+        n = self._nb_point
+        return {(int(self._level[i]), int(self._rank_in_layer[i])): i for i in range(n)}
+
+    def check_graph_equality(self, other: "Hnsw") -> bool:
+        """Structural equality — reference ``check_graph_equality``
+        (``src/hnsw.rs:1686-1753``): entry point, per-layer membership, and per-point
+        neighbor lists including distances. Points are aligned by their (layer, rank)
+        coordinate, since internal storage order differs between a live build
+        (insertion order) and a reload (layer order)."""
+        if self._nb_point != other._nb_point:
+            return False
+        if (self._entry < 0) != (other._entry < 0):
+            return False
+        if self._entry >= 0 and self.get_point_id(self._entry) != other.get_point_id(other._entry):
+            return False
+        a_map = self._pid_index()
+        b_map = other._pid_index()
+        if set(a_map) != set(b_map):
+            return False
+        layers = set(self._layers) | set(other._layers)
+        for pid, ia in a_map.items():
+            ib = b_map[pid]
+            if self.get_origin_id(ia) != other.get_origin_id(ib):
+                return False
+            for l in layers:
+                a_ids, a_d = self.neighbour_row(ia, l)
+                b_ids, b_d = other.neighbour_row(ib, l)
+                if len(a_ids) != len(b_ids):
+                    return False
+                a_set = sorted((self.get_point_id(int(j)), round(float(d), 5))
+                               for j, d in zip(a_ids, a_d))
+                b_set = sorted((other.get_point_id(int(j)), round(float(d), 5))
+                               for j, d in zip(b_ids, b_d))
+                if a_set != b_set:
+                    return False
+        return True

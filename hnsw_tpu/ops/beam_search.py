@@ -1,0 +1,296 @@
+"""Batched HNSW search as a single jitted XLA program.
+
+This is the TPU-native replacement for the reference's pointer-chasing hot loop
+(``search_layer``, reference ``src/hnsw.rs:922-1064``, and the greedy descent of
+``search_filter``, ``src/hnsw.rs:1487-1545``). Instead of one query walking the graph
+with heaps and a visited HashMap, a *batch* of queries advances in lock-step:
+
+  per iteration:
+    1. each query picks its ``expand`` nearest not-yet-expanded beam entries
+    2. their neighbor rows are gathered from the dense layer table           (HBM)
+    3. candidate vectors are gathered and scored against the query           (VPU/MXU)
+    4. beam ∪ candidates is re-sorted and truncated to ``ef``                (VPU)
+    5. a per-query visited bitmap (int8 row per query) suppresses revisits
+
+Termination matches the reference's early-exit rule (nearest unexpanded candidate
+farther than the worst kept result once the beam is full, ``src/hnsw.rs:981-1002``),
+generalized to ``expand`` > 1 frontier nodes per step to amortize gather latency.
+
+Filtered search keeps TWO beams: an unfiltered traversal beam (graph navigation) and a
+filtered result beam — the reference threads one filtered heap through both roles
+(``src/hnsw.rs:1037-1050``); splitting them is equivalent-or-better for recall and
+keeps the device program branch-free.
+
+Everything is static-shape; queries that finish early idle under a done-mask inside
+``lax.while_loop``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..filter import filter_mask
+
+INF = jnp.float32(jnp.inf)
+
+
+def scores_gathered(metric_name: str, q: jax.Array, cvecs: jax.Array,
+                    csq: Optional[jax.Array] = None) -> jax.Array:
+    """Distance of each query to its gathered candidates: [B,d] x [B,K,d] -> [B,K].
+    L2/Dot/Cosine use an einsum (inner-product form) so XLA can fuse and keep the VPU
+    busy; other metrics use their elementwise forms."""
+    from .distances import get_metric
+
+    qf = q.astype(jnp.float32)
+    cf = cvecs.astype(jnp.float32)
+    if metric_name in ("L2", "DistL2"):
+        g = jnp.einsum("bd,bkd->bk", qf, cf)
+        sq = (qf * qf).sum(-1)[:, None]
+        cs = csq if csq is not None else (cf * cf).sum(-1)
+        return jnp.sqrt(jnp.maximum(sq - 2.0 * g + cs, 0.0))
+    if metric_name in ("Dot", "DistDot"):
+        return 1.0 - jnp.einsum("bd,bkd->bk", qf, cf)
+    if metric_name in ("Cosine", "DistCosine"):
+        s = jnp.einsum("bd,bkd->bk", qf, cf)
+        denom = jnp.linalg.norm(qf, axis=-1)[:, None] * jnp.linalg.norm(cf, axis=-1)
+        return 1.0 - jnp.where(denom > 0, s / jnp.maximum(denom, 1e-10), 0.0)
+    m = get_metric(metric_name)
+    if m.jnp_scores is None:
+        raise NotImplementedError(f"metric {metric_name} has no device kernel")
+    return m.jnp_scores(q, cvecs)
+
+
+def _merge_beam(beam_ids, beam_d, beam_exp, new_ids, new_d, ef: int):
+    """(beam ∪ candidates) -> best ef, carrying expanded flags through the sort."""
+    cat_ids = jnp.concatenate([beam_ids, new_ids], axis=1)
+    cat_d = jnp.concatenate([beam_d, new_d], axis=1)
+    if beam_exp is not None:
+        cat_exp = jnp.concatenate([beam_exp, jnp.zeros_like(new_ids, dtype=jnp.uint8)], axis=1)
+    order = jnp.argsort(cat_d, axis=1)[:, :ef]
+    take = lambda a: jnp.take_along_axis(a, order, axis=1)
+    return (take(cat_ids), take(cat_d), take(cat_exp) if beam_exp is not None else None)
+
+
+def beam_search_layer(metric_name: str, vectors, sqnorms, tbl_ids, q, start_ids,
+                      start_dists, *, ef: int, expand: int = 4,
+                      mask=None, active=None, max_iters: Optional[int] = None,
+                      visited_init=None):
+    """Beam search within one layer for a batch of queries.
+
+    Args:
+      vectors: [cap1, d] — row cap1-1 is the reserved sink row.
+      tbl_ids: [cap1, M] neighbor table of this layer (-1 padded).
+      q: [B, d] queries. start_ids/start_dists: [B] entry per query.
+      ef: beam width (static). expand: frontier nodes expanded per step (static).
+      mask: optional [cap1] bool — result-beam admission filter.
+      active: optional [B] bool — queries to run (others return empty beams).
+
+    Returns (beam_ids [B,ef], beam_dists [B,ef]) sorted ascending; if ``mask`` is
+    given these are the *filtered* result beam.
+    """
+    B, d = q.shape
+    cap1, M = tbl_ids.shape
+    E = int(expand)
+    K = E * M
+    if max_iters is None:
+        max_iters = max(16, (4 * ef) // E + 32)
+    rows = jnp.arange(B, dtype=jnp.int32)[:, None]
+
+    if active is None:
+        active = jnp.ones((B,), dtype=bool)
+    start_ok = active & (start_ids >= 0)
+    beam_ids = jnp.full((B, ef), -1, jnp.int32).at[:, 0].set(jnp.where(start_ok, start_ids, -1))
+    beam_d = jnp.full((B, ef), INF).at[:, 0].set(jnp.where(start_ok, start_dists, INF))
+    beam_exp = jnp.zeros((B, ef), jnp.uint8)
+    use_mask = mask is not None
+    if use_mask:
+        start_pass = start_ok & mask[jnp.clip(start_ids, 0, cap1 - 1)]
+        res_ids = jnp.full((B, ef), -1, jnp.int32).at[:, 0].set(jnp.where(start_pass, start_ids, -1))
+        res_d = jnp.full((B, ef), INF).at[:, 0].set(jnp.where(start_pass, start_dists, INF))
+    else:
+        res_ids = res_d = None
+    visited = visited_init if visited_init is not None else jnp.zeros((B, cap1), jnp.uint8)
+    visited = visited.at[rows[:, 0], jnp.clip(start_ids, 0, cap1 - 1)].set(1)
+    done = ~start_ok
+
+    def cond(state):
+        it, done, *_ = state
+        return (it < max_iters) & ~jnp.all(done)
+
+    def body(state):
+        it, done, beam_ids, beam_d, beam_exp, res_ids, res_d, visited = state
+        # 1. pick the E nearest unexpanded beam entries per query
+        cand_d = jnp.where((beam_exp > 0) | (beam_ids < 0), INF, beam_d)
+        neg_sel, pos = lax.top_k(-cand_d, E)  # [B,E]
+        sel_d = -neg_sel
+        nearest_d = sel_d[:, 0]
+        worst = beam_d[:, ef - 1]
+        step_done = done | (nearest_d == INF) | (nearest_d > worst)
+        act = ~step_done
+        # 2. mark them expanded & gather their neighbor rows
+        beam_exp = beam_exp.at[rows, pos].max((act[:, None] & (sel_d < INF)).astype(jnp.uint8))
+        src = jnp.take_along_axis(beam_ids, pos, axis=1)  # [B,E]
+        src_c = jnp.clip(src, 0, cap1 - 1)
+        nbr = tbl_ids[src_c].reshape(B, K)
+        e_valid = jnp.repeat(act[:, None] & (sel_d < INF), M, axis=1)  # [B,K]
+        valid = e_valid & (nbr >= 0)
+        nbr_c = jnp.where(valid, nbr, cap1 - 1)
+        # 3. visited suppression, chunk-by-chunk so intra-step duplicates dedup too
+        for e in range(E):
+            sl = slice(e * M, (e + 1) * M)
+            ids_e = nbr_c[:, sl]
+            seen = visited[rows, ids_e] > 0
+            v_e = valid[:, sl] & ~seen
+            valid = valid.at[:, sl].set(v_e)
+            visited = visited.at[rows, jnp.where(v_e, ids_e, cap1 - 1)].set(1)
+        nbr_c = jnp.where(valid, nbr, cap1 - 1)
+        # 4. score candidates
+        cvecs = vectors[nbr_c]  # [B,K,d]
+        sc = scores_gathered(metric_name, q, cvecs, sqnorms[nbr_c])
+        sc = jnp.where(valid, sc, INF)
+        new_ids = jnp.where(valid, nbr, -1)
+        # 5. merge into beams
+        beam_ids, beam_d, beam_exp = _merge_beam(beam_ids, beam_d, beam_exp, new_ids, sc, ef)
+        if use_mask:
+            passf = valid & mask[nbr_c]
+            r_ids, r_d, _ = _merge_beam(res_ids, res_d, None,
+                                        jnp.where(passf, nbr, -1), jnp.where(passf, sc, INF), ef)
+        else:
+            r_ids, r_d = res_ids, res_d
+        return (it + 1, step_done, beam_ids, beam_d, beam_exp, r_ids, r_d, visited)
+
+    state = (jnp.int32(0), done, beam_ids, beam_d, beam_exp, res_ids, res_d, visited)
+    state = lax.while_loop(cond, body, state)
+    _, _, beam_ids, beam_d, _, res_ids, res_d, _ = state
+    if use_mask:
+        return res_ids, res_d
+    return beam_ids, beam_d
+
+
+def greedy_scan_descent(metric_name, vectors, sqnorms, layer_ids, q, pivot, pivot_d,
+                        top_layer: int, stop_layer: int = 0, stop_level=None):
+    """Upper-layer descent of the production search path — ONE scan of the pivot's
+    stored neighbor list per layer, moving to the best improving neighbor (reference
+    ``src/hnsw.rs:1511-1529``). Layers are a static unrolled loop (top..stop_layer+1).
+
+    ``stop_level``: optional [B] — a query stops descending once ``layer <=
+    stop_level`` (used by the insert path where each point descends to its own
+    level + 1)."""
+    B = q.shape[0]
+    cap1 = vectors.shape[0]
+    for layer in range(top_layer, stop_layer, -1):
+        if layer >= len(layer_ids):
+            continue
+        tbl = layer_ids[layer]
+        act = jnp.ones((B,), bool) if stop_level is None else (layer > stop_level)
+        nbr = tbl[jnp.clip(pivot, 0, cap1 - 1)]  # [B, M]
+        valid = (nbr >= 0) & act[:, None]
+        nbr_c = jnp.where(valid, nbr, cap1 - 1)
+        sc = scores_gathered(metric_name, q, vectors[nbr_c], sqnorms[nbr_c])
+        sc = jnp.where(valid, sc, INF)
+        j = jnp.argmin(sc, axis=1)
+        best_d = jnp.take_along_axis(sc, j[:, None], axis=1)[:, 0]
+        best_i = jnp.take_along_axis(nbr, j[:, None], axis=1)[:, 0]
+        better = act & (best_d < pivot_d)
+        pivot = jnp.where(better, best_i, pivot)
+        pivot_d = jnp.where(better, best_d, pivot_d)
+    return pivot, pivot_d
+
+
+def greedy_min_descent(metric_name, vectors, sqnorms, layer_ids, q, pivot, pivot_d,
+                       top_layer: int, stop_level, record_hook=None,
+                       max_hops: int = 64):
+    """Insert-path descent — full ef=1 ``search_layer`` per layer (reference
+    ``src/hnsw.rs:1114-1155``): within each layer, hop to the best improving neighbor
+    until a local minimum. ``record_hook(layer, pivot, pivot_d, active)`` lets the
+    caller record the reference's per-layer "projection links"."""
+    B = q.shape[0]
+    cap1 = vectors.shape[0]
+    recs = []
+    for layer in range(top_layer, 0, -1):
+        if layer >= len(layer_ids):
+            continue
+        tbl = layer_ids[layer]
+        act0 = layer > stop_level
+
+        def body(state):
+            pivot, pivot_d, improved, _ = state
+            nbr = tbl[jnp.clip(pivot, 0, cap1 - 1)]
+            valid = (nbr >= 0) & improved[:, None]
+            nbr_c = jnp.where(valid, nbr, cap1 - 1)
+            sc = scores_gathered(metric_name, q, vectors[nbr_c], sqnorms[nbr_c])
+            sc = jnp.where(valid, sc, INF)
+            j = jnp.argmin(sc, axis=1)
+            best_d = jnp.take_along_axis(sc, j[:, None], axis=1)[:, 0]
+            best_i = jnp.take_along_axis(nbr, j[:, None], axis=1)[:, 0]
+            better = improved & (best_d < pivot_d)
+            return (jnp.where(better, best_i, pivot), jnp.where(better, best_d, pivot_d),
+                    better, state[3] + 1)
+
+        def cond(state):
+            return jnp.any(state[2]) & (state[3] < max_hops)
+
+        pivot_l, pivot_d_l, _, _ = lax.while_loop(cond, body, (pivot, pivot_d, act0, jnp.int32(0)))
+        pivot = jnp.where(act0, pivot_l, pivot)
+        pivot_d = jnp.where(act0, pivot_d_l, pivot_d)
+        if record_hook is not None:
+            recs.append(record_hook(layer, pivot, pivot_d, act0))
+    return pivot, pivot_d, recs
+
+
+# --------------------------------------------------------------- top-level search ----
+
+@partial(jax.jit, static_argnames=("ef", "knbn", "expand", "use_mask"))
+def _search_program(g, q, mask, *, ef: int, knbn: int, expand: int, use_mask: bool):
+    """Full production search: greedy descent then beam search at the lowest
+    non-empty layer — reference ``search_filter`` (``src/hnsw.rs:1487-1599``)."""
+    B = q.shape[0]
+    ev = g.vectors[g.entry][None, :]
+    d0 = scores_gathered(g.metric_name, q, jnp.broadcast_to(ev[:, None, :], (B, 1, q.shape[1])),
+                         jnp.broadcast_to(g.sqnorms[g.entry][None, None], (B, 1)))[:, 0]
+    pivot = jnp.broadcast_to(g.entry, (B,)).astype(jnp.int32)
+    layer0 = next((l for l, ne in enumerate(g.layer_nonempty) if ne), 0)
+    pivot, d0 = greedy_scan_descent(g.metric_name, g.vectors, g.sqnorms, g.layer_ids,
+                                    q, pivot, d0, top_layer=g.num_layers - 1,
+                                    stop_layer=max(layer0, 0))
+    ids, dists = beam_search_layer(
+        g.metric_name, g.vectors, g.sqnorms,
+        g.layer_ids[layer0] if layer0 < g.num_layers else jnp.full((g.cap1, 1), -1, jnp.int32),
+        q, pivot, d0, ef=max(ef, knbn), expand=expand,
+        mask=mask if use_mask else None)
+    return ids[:, :knbn], dists[:, :knbn]
+
+
+def device_search_batch(hnsw, queries: np.ndarray, knbn: int, ef: int, filter=None,
+                        expand: int = 4):
+    """Host wrapper: snapshot graph to device (cached), build the filter mask, run the
+    jitted program, return numpy (internal ids [B,knbn] -1-padded, dists)."""
+    if hnsw._nb_point == 0:
+        B = queries.shape[0]
+        return np.full((B, knbn), -1, np.int64), np.full((B, knbn), np.inf, np.float32)
+    g = hnsw.device_graph()
+    q = np.asarray(queries, np.float32)
+    if q.ndim == 1:
+        q = q[None, :]
+    B = q.shape[0]
+    Bp = max(8, int(np.ceil(B / 8) * 8))
+    if Bp != B:
+        q = np.concatenate([q, np.repeat(q[-1:], Bp - B, axis=0)])
+    if filter is not None:
+        m = np.zeros(g.cap1, bool)
+        m[: hnsw._nb_point] = filter_mask(filter, hnsw._origin[: hnsw._nb_point])
+        mask = jnp.asarray(m)
+    else:
+        mask = jnp.zeros((g.cap1,), bool)  # placeholder, unused
+    ids, dists = _search_program(g, jnp.asarray(q), mask, ef=int(ef), knbn=int(knbn),
+                                 expand=int(expand), use_mask=filter is not None)
+    ids = np.array(ids[:B])
+    dists = np.array(dists[:B])
+    ids[~np.isfinite(dists)] = -1
+    return ids, dists

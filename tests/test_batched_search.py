@@ -1,0 +1,107 @@
+"""Batched device search (jitted beam search) vs the serial oracle and brute force."""
+
+import numpy as np
+import pytest
+
+from hnsw_tpu import Hnsw
+from hnsw_tpu.ops.distances import get_metric
+
+
+def _build(rng, n=600, d=16, metric="L2", M=16, efc=200):
+    X = rng.random((n, d)).astype(np.float32)
+    h = Hnsw(max_nb_connection=M, max_elements=n, ef_construction=efc, dist=metric)
+    for i, v in enumerate(X):
+        h.insert(v, i)
+    return h, X
+
+
+def test_batched_matches_brute_force(rng):
+    h, X = _build(rng)
+    metric = get_metric("L2")
+    Q = rng.random((32, X.shape[1])).astype(np.float32)
+    ids, dists = h.search_batch(Q, knbn=10, ef=64)
+    assert ids.shape == (32, 10)
+    truth = metric.brute_force(Q, X)
+    hits = 0
+    for b in range(32):
+        kth = np.sort(truth[b])[9]
+        hits += int((dists[b] <= kth + 1e-6).sum())
+    recall = hits / (32 * 10)
+    assert recall >= 0.9, f"batched recall {recall}"
+    # distances must be correct for returned ids
+    for b in range(4):
+        for j in range(10):
+            if ids[b, j] >= 0:
+                assert dists[b, j] == pytest.approx(truth[b, ids[b, j]], rel=1e-4, abs=1e-4)
+
+
+def test_batched_close_to_serial(rng):
+    h, X = _build(rng, n=400)
+    Q = rng.random((16, X.shape[1])).astype(np.float32)
+    ids, dists = h.search_batch(Q, knbn=5, ef=48)
+    agree = 0
+    for b in range(16):
+        serial = {r.d_id for r in h.search(Q[b], 5, 48)}
+        batched = {h.get_origin_id(int(i)) for i in ids[b] if i >= 0}
+        agree += len(serial & batched)
+    assert agree / (16 * 5) >= 0.9
+
+
+def test_parallel_search_api(rng):
+    h, X = _build(rng, n=300)
+    Q = rng.random((8, X.shape[1])).astype(np.float32)
+    answers = h.parallel_search(Q, 3, 32)
+    assert len(answers) == 8
+    for b, row in enumerate(answers):
+        assert 1 <= len(row) <= 3
+        assert row == sorted(row)
+        serial = h.search(Q[b], 3, 32)
+        assert row[0].d_id == serial[0].d_id or abs(row[0].distance - serial[0].distance) < 1e-4
+
+
+def test_batched_filtered_search(rng):
+    h, X = _build(rng, n=400)
+    Q = rng.random((8, X.shape[1])).astype(np.float32)
+    allowed = sorted(rng.choice(400, size=60, replace=False).tolist())
+    ids, dists = h.search_batch(Q, knbn=5, ef=64, filter=allowed)
+    metric = get_metric("L2")
+    allowed_set = set(allowed)
+    for b in range(8):
+        got = [h.get_origin_id(int(i)) for i in ids[b] if i >= 0]
+        assert all(g in allowed_set for g in got)
+        assert len(got) >= 1
+    # compare against a physically restricted brute force
+    truth = metric.brute_force(Q, X[allowed])
+    hits = 0
+    for b in range(8):
+        kth = np.sort(truth[b])[4]
+        hits += int((dists[b][np.isfinite(dists[b])] <= kth + 1e-6).sum())
+    assert hits / (8 * 5) >= 0.8
+
+
+def test_batched_small_and_empty_index(rng):
+    h = Hnsw(max_nb_connection=8, max_elements=8, ef_construction=16)
+    ids, dists = h.search_batch(np.ones((3, 4), np.float32), 2, 8)
+    assert (ids == -1).all()
+    h.insert(np.ones(4, np.float32), 0)
+    ids, dists = h.search_batch(np.ones((3, 4), np.float32), 2, 8)
+    assert (ids[:, 0] == 0).all()
+    assert np.allclose(dists[:, 0], 0, atol=1e-5)
+    assert (ids[:, 1] == -1).all()
+
+
+def test_batched_dot_metric(rng):
+    from hnsw_tpu.ops.distances import l2_normalize
+    n, d = 500, 24
+    X = l2_normalize(rng.standard_normal((n, d)).astype(np.float32))
+    h = Hnsw(max_nb_connection=16, max_elements=n, ef_construction=200, dist="Dot")
+    for i, v in enumerate(X):
+        h.insert(v, i)
+    Q = l2_normalize(rng.standard_normal((8, d)).astype(np.float32))
+    ids, dists = h.search_batch(Q, 10, 64)
+    truth = get_metric("Dot").brute_force(Q, X)
+    hits = 0
+    for b in range(8):
+        kth = np.sort(truth[b])[9]
+        hits += int((dists[b] <= kth + 1e-5).sum())
+    assert hits / 80 >= 0.85

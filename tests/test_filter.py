@@ -1,0 +1,62 @@
+"""Filtered-search correctness, three ways (analog of reference ``tests/filtertest.rs``):
+sorted-id filter vs a physically restricted index, closure filters, and the villsnow
+regression (nearly-empty / always-false filters)."""
+
+import numpy as np
+
+from hnsw_tpu import Hnsw, SortedIdFilter, CallableFilter
+
+
+def _build(rng, n=400, d=12):
+    X = rng.random((n, d)).astype(np.float32)
+    h = Hnsw(max_nb_connection=16, max_elements=n, ef_construction=200, dist="L2")
+    for i, v in enumerate(X):
+        h.insert(v, i)
+    return h, X
+
+
+def test_sorted_id_filter_vs_restricted_index(rng):
+    """Searching with a filter should match searching a physically restricted index
+    (reference filter_l2, ``tests/filtertest.rs:154-219``)."""
+    h, X = _build(rng)
+    keep = sorted(rng.choice(400, size=80, replace=False).tolist())
+    restricted = Hnsw(max_nb_connection=16, max_elements=80, ef_construction=200, dist="L2")
+    for i in keep:
+        restricted.insert(X[i], i)
+    q = rng.random(12).astype(np.float32)
+    filtered = h.search_filter(q, 5, 80, filter=keep)
+    direct = restricted.search(q, 5, 80)
+    assert all(r.d_id in set(keep) for r in filtered)
+    f_ids = {r.d_id for r in filtered}
+    d_ids = {r.d_id for r in direct}
+    assert len(f_ids & d_ids) >= 3  # heavy overlap expected
+
+
+def test_closure_filter(rng):
+    h, X = _build(rng)
+    q = rng.random(12).astype(np.float32)
+    res = h.search_filter(q, 5, 64, filter=lambda i: i % 2 == 0)
+    assert res and all(r.d_id % 2 == 0 for r in res)
+    res2 = h.search_filter(q, 5, 64, filter=CallableFilter(lambda i: i % 2 == 0))
+    assert res2 and all(r.d_id % 2 == 0 for r in res2)
+
+
+def test_villsnow_regression(rng):
+    """A filter matching ~1 point must not return non-matching points; an always-false
+    filter must return 0 results (reference ``tests/filtertest.rs:224-271``)."""
+    h, X = _build(rng)
+    q = rng.random(12).astype(np.float32)
+    only = [123]
+    res = h.search_filter(q, 5, 400, filter=only)
+    assert all(r.d_id == 123 for r in res)
+    assert len(res) >= 1
+    res = h.search_filter(q, 5, 64, filter=lambda i: False)
+    assert res == []
+
+
+def test_filter_objects():
+    f = SortedIdFilter([5, 1, 9])
+    assert f.hnsw_filter(5) and f.hnsw_filter(1) and f.hnsw_filter(9)
+    assert not f.hnsw_filter(2) and not f.hnsw_filter(100)
+    mask = f.mask_for(np.array([1, 2, 9, 50]))
+    assert mask.tolist() == [True, False, True, False]

@@ -1,0 +1,143 @@
+"""Persistence: reference-format dump/reload round trip (analog of reference
+``src/hnswio.rs`` tests), graph-only reload, datamap/mmap access, native snapshot."""
+
+import numpy as np
+import pytest
+
+from hnsw_tpu import Hnsw, HnswIo, ReloadOptions, DataMap, load_description, FlatNeighborhood
+from hnsw_tpu.io.hnswio import save_native, load_native
+
+
+def _build(rng, n=300, d=8, dist="L2"):
+    X = rng.random((n, d)).astype(np.float32)
+    h = Hnsw(max_nb_connection=12, max_elements=n, ef_construction=100, dist=dist)
+    for i, v in enumerate(X):
+        h.insert(v, i)
+    return h, X
+
+
+def test_dump_reload_equality(rng, tmp_path):
+    """Reference test_dump_reload_1: reloaded graph must be structurally equal."""
+    h, X = _build(rng)
+    basename = h.file_dump(tmp_path, "dumpreloadtest")
+    reloaded = HnswIo(tmp_path, basename).load_hnsw()
+    assert h.check_graph_equality(reloaded)
+    assert reloaded.get_nb_point() == h.get_nb_point()
+    assert reloaded.get_distance_name() == "L2"
+    # data round trip (align by external id: reload stores points in layer order)
+    n = h.get_nb_point()
+    for i in range(n):
+        oid = reloaded.get_origin_id(i)
+        np.testing.assert_allclose(reloaded._data[i], X[oid])
+    # search parity on the reloaded index
+    q = rng.random(8).astype(np.float32)
+    a = [r.d_id for r in h.search(q, 5, 32)]
+    b = [r.d_id for r in reloaded.search(q, 5, 32)]
+    assert a == b
+
+
+def test_description(rng, tmp_path):
+    h, _ = _build(rng, n=50)
+    basename = h.file_dump(tmp_path, "descrtest")
+    d = load_description(tmp_path / (basename + ".hnsw.graph"))
+    assert d.nb_point == 50
+    assert d.max_nb_connection == 12
+    assert d.dimension == 8
+    assert d.distname.endswith("DistL2")
+    assert d.t_name == "f32"
+    assert d.format_version == 4
+    assert d.level_scale == pytest.approx(h.get_level_scale())
+
+
+def test_graph_only_reload_flatten(rng, tmp_path):
+    """Reference test_dump_reload_graph_only + flatten equality
+    (``src/flatten.rs:128-200``): FlatNeighborhood before dump == after graph-only
+    reload."""
+    h, _ = _build(rng, n=150)
+    before = FlatNeighborhood(h)
+    basename = h.file_dump(tmp_path, "graphonly")
+    reloaded = HnswIo(tmp_path, basename).load_hnsw(graph_only=True)
+    after = FlatNeighborhood(reloaded)
+    assert before == after
+    assert reloaded.get_distance_name() == "NoDist"
+
+
+def test_reload_then_insert_more(rng, tmp_path):
+    """Reference reload_with_mmap scenario: reload, insert more points, search finds
+    both old and new, re-dump with unique basename (``src/hnswio.rs:1611-1655``)."""
+    h, X = _build(rng, n=200)
+    basename = h.file_dump(tmp_path, "grow")
+    io = HnswIo(tmp_path, basename, ReloadOptions(datamap=True, mmap_threshold=100))
+    r = io.load_hnsw()
+    Y = rng.random((50, 8)).astype(np.float32)
+    for j, v in enumerate(Y):
+        r.insert(v, 200 + j)
+    assert r.get_nb_point() == 250
+    old = r.search(X[17], 1, 32)
+    assert old and old[0].d_id == 17
+    new = r.search(Y[3], 1, 32)
+    assert new and new[0].d_id == 203
+    r.set_datamap(True)
+    b2 = r.file_dump(tmp_path, "grow")
+    assert b2 != "grow"  # uniquified, not clobbering the mmap-ed file
+
+
+def test_datamap(rng, tmp_path):
+    """Reference test_file_mmap / test_mmap_iter: mmap random access equals inserted
+    data; id iterator in file order; type check."""
+    h, X = _build(rng, n=120)
+    basename = h.file_dump(tmp_path, "mmaptest")
+    dm = DataMap(tmp_path, basename, dtype=np.float32)
+    assert dm.get_nb_data() == 120
+    assert dm.get_dimension() == 8
+    assert dm.check_data_type("f32")
+    assert not dm.check_data_type("u16")
+    for i in [0, 7, 63, 119]:
+        np.testing.assert_allclose(dm.get_data(i), X[i], rtol=1e-6)
+    assert dm.get_data(99999) is None
+    ids = list(dm.get_dataid_iter())
+    assert sorted(ids) == list(range(120))
+    sv = dm.strided_view()
+    assert sv.shape == (120, 8)
+    order = {oid: k for k, oid in enumerate(ids)}
+    np.testing.assert_allclose(sv[order[17]], X[17], rtol=1e-6)
+
+
+def test_empty_dump_fails(tmp_path):
+    """Reference read_write_empty_db: an empty dump must fail gracefully."""
+    h = Hnsw(max_nb_connection=8, max_elements=8)
+    with pytest.raises(ValueError):
+        h.file_dump(tmp_path, "empty")
+
+
+def test_native_snapshot(rng, tmp_path):
+    h, X = _build(rng, n=180, dist="Cosine")
+    p = str(tmp_path / "snap.npz")
+    save_native(h, p)
+    r = load_native(p)
+    assert h.check_graph_equality(r)
+    assert r.get_distance_name() == "Cosine"
+    q = rng.random(8).astype(np.float32)
+    assert [x.d_id for x in h.search(q, 5, 32)] == [x.d_id for x in r.search(q, 5, 32)]
+
+
+def test_distance_mismatch_rejected(rng, tmp_path):
+    h, _ = _build(rng, n=60, dist="L2")
+    basename = h.file_dump(tmp_path, "mismatch")
+    with pytest.raises(ValueError):
+        HnswIo(tmp_path, basename).load_hnsw(dist="Cosine")
+
+
+def test_uint8_roundtrip(rng, tmp_path):
+    n = 80
+    X = rng.integers(0, 255, (n, 16)).astype(np.uint8)
+    h = Hnsw(max_nb_connection=8, max_elements=n, ef_construction=50, dist="L1",
+             dtype=np.uint8)
+    for i, v in enumerate(X):
+        h.insert(v, i)
+    basename = h.file_dump(tmp_path, "u8")
+    r = HnswIo(tmp_path, basename).load_hnsw()
+    assert r.dtype == np.uint8
+    for i in range(n):
+        np.testing.assert_array_equal(r._data[i], X[r.get_origin_id(i)])
+    assert h.check_graph_equality(r)
