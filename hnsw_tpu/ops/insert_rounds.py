@@ -1,13 +1,379 @@
-"""Batched device insertion rounds (placeholder — serial fallback).
+"""Synchronized batched insertion rounds — the TPU build path.
 
-The real synchronized-round implementation (SURVEY.md §7.2 step 4) lands next: rounds
-of B points descend/search/select/reverse-link as one jitted program. Until then,
-device-mode parallel_insert loops the exact serial oracle so the API surface is
-complete and correct."""
+The reference parallelizes insertion with rayon threads racing over per-point locks
+(``parallel_insert``, reference ``src/hnsw.rs:1224-1238``), accepting run-to-run
+nondeterminism from lock interleavings (``src/hnsw.rs:1222-1223``). The TPU-native
+replacement is *synchronized rounds*: B points per round move through the full insert
+pipeline as one jitted program —
+
+  1. upper-layer greedy descent (ef=1) with the reference's "projection link"
+     recording (``src/hnsw.rs:1114-1155``)
+  2. per-layer beam search with ef_construction (batched ``search_layer``)
+  3. vectorized heuristic neighbor selection (diversity prune of
+     ``select_neighbours``, ``src/hnsw.rs:1299-1421``)
+  4. forward-row writes, then a **deterministic sort-based reverse-link merge**
+     replacing the reference's per-point lock mutation
+     (``reverse_update_neighborhood_simple``, ``src/hnsw.rs:1241-1289``): all
+     backlink edges of the round are deduped by (target, source), grouped by target
+     via a radix-style double argsort, capped losslessly at the row width, and merged
+     into existing rows by a single sorted truncation (top-width of a union equals the
+     reference's sequential add-then-prune fold).
+
+Points within a round do not see each other — the same contract the reference
+documents for its thread races, but *deterministic* given (data order, batch size).
+
+Known deviation: ``extend_candidates`` (a layer-0 widening of the selection pool that
+the reference only applies when fewer candidates than requested links exist,
+``src/hnsw.rs:1336-1362``) is not applied on the device path; in that regime the
+selection keeps every candidate anyway, so the effect on recall is marginal.
+"""
 
 from __future__ import annotations
 
+import dataclasses
+from functools import partial
+from typing import Optional
 
-def device_parallel_insert(hnsw, pairs, batch_size=None):
-    for v, i in pairs:
-        hnsw.insert(v, i)
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .beam_search import scores_gathered, beam_search_layer, greedy_min_descent
+
+INF = jnp.float32(jnp.inf)
+
+
+def _next_pow2(x: int) -> int:
+    return 1 << (int(x) - 1).bit_length()
+
+
+@dataclasses.dataclass(frozen=True)
+class RoundConfig:
+    """Static (hashable) per-round configuration; recompiles are bounded by the few
+    distinct (max_obs, nonempty) values a build passes through."""
+
+    B: int
+    cap1: int
+    num_layers: int
+    widths: tuple  # per-layer row width
+    efc: int
+    M: int
+    metric: str
+    expand: int
+    max_obs: int  # entry level at round start
+    nonempty: tuple  # per-layer: did the layer contain points at round start
+    keep_pruned: bool
+
+
+# ----------------------------------------------------------- neighbor selection ------
+
+def _pairwise_dists(metric: str, cvecs, csq):
+    """[B,K,d] -> [B,K,K] candidate-candidate distances for the diversity prune."""
+    if metric in ("L2", "DistL2"):
+        g = jnp.einsum("bkd,bjd->bkj", cvecs, cvecs)
+        return jnp.sqrt(jnp.maximum(csq[:, :, None] - 2.0 * g + csq[:, None, :], 0.0))
+    if metric in ("Dot", "DistDot"):
+        return 1.0 - jnp.einsum("bkd,bjd->bkj", cvecs, cvecs)
+    if metric in ("Cosine", "DistCosine"):
+        nrm = jnp.sqrt(jnp.maximum(csq, 1e-20))
+        u = cvecs / nrm[:, :, None]
+        return 1.0 - jnp.einsum("bkd,bjd->bkj", u, u)
+    # generic metrics: chunked rows through the gathered-score kernel
+    K = cvecs.shape[1]
+    chunk = max(1, min(K, (1 << 22) // max(1, K * cvecs.shape[2])))
+    outs = []
+    for s in range(0, K, chunk):
+        blk = cvecs[:, s: s + chunk]  # [B,c,d]
+        Bc = blk.shape[0] * blk.shape[1]
+        got = scores_gathered(metric, blk.reshape(Bc, -1),
+                              jnp.repeat(cvecs, blk.shape[1], axis=0).reshape(Bc, K, -1))
+        outs.append(got.reshape(blk.shape[0], blk.shape[1], K))
+    return jnp.concatenate(outs, axis=1)
+
+
+def select_neighbours_batched(metric: str, vectors, sqnorms, cand_ids, cand_d,
+                              nb_conn: int, keep_pruned: bool, k_sel: Optional[int] = None):
+    """Vectorized Navarro heuristic (reference ``select_neighbours``,
+    ``src/hnsw.rs:1299-1421``): walk candidates nearest-first, keep e only if no
+    already-kept d has dist(e,d) <= dist(e,q); optionally refill from pruned.
+    Candidates beyond ``k_sel`` are never kept (prune window cap — they are examined
+    by the reference but essentially never survive). Returns ([B,nb_conn] ids -1-pad,
+    dists) sorted ascending."""
+    B, C = cand_ids.shape
+    K = min(C, k_sel if k_sel is not None else max(2 * nb_conn, 128))
+    ids = cand_ids[:, :K]
+    dd = cand_d[:, :K]
+    valid = ids >= 0
+    cap1 = vectors.shape[0]
+    safe = jnp.clip(ids, 0, cap1 - 1)
+    cvecs = vectors[safe]
+    csq = sqnorms[safe]
+    P = _pairwise_dists(metric, cvecs, csq)
+    n_valid = (cand_ids >= 0).sum(1)
+    keep_all = n_valid <= nb_conn  # reference short-circuit transfer (src/hnsw.rs:1318-1331)
+
+    def body(k, carry):
+        kept, count = carry
+        conflict = (kept & (P[:, k, :] <= dd[:, k, None])).any(-1)
+        take = valid[:, k] & (count < nb_conn) & ~conflict
+        return kept.at[:, k].set(take), count + take
+
+    kept, count = lax.fori_loop(0, K, body,
+                                (jnp.zeros((B, K), bool), jnp.zeros((B,), jnp.int32)))
+    if keep_pruned:
+        disc = valid & ~kept
+        room = (nb_conn - count)[:, None]
+        refill = disc & (jnp.cumsum(disc, axis=1) <= room)
+        kept = kept | refill
+    kept = jnp.where(keep_all[:, None], valid, kept)
+    # compact, preserving ascending-distance order
+    posn = jnp.where(kept, jnp.arange(K)[None, :], K + 1)
+    order = jnp.argsort(posn, axis=1)[:, :nb_conn]
+    okay = jnp.take_along_axis(kept, order, 1)
+    sel_ids = jnp.where(okay, jnp.take_along_axis(ids, order, 1), -1)
+    sel_d = jnp.where(okay, jnp.take_along_axis(dd, order, 1), INF)
+    return sel_ids, sel_d
+
+
+# ------------------------------------------------------------- reverse-link merge ----
+
+def _reverse_merge(tbl_ids, tbl_d, eq, esrc, ed, valid, width: int):
+    """Deterministically merge backlink edges (target q <- source src at dist d) into
+    the target rows of one layer table. Lossless: top-width of (existing ∪ incoming)
+    equals the reference's sequential add+prune fold."""
+    E = eq.shape[0]
+    cap1 = tbl_ids.shape[0]
+    sink = cap1 - 1
+    qv = eq.astype(jnp.int32)
+    sv = esrc.astype(jnp.int32)
+    # Lexicographic orderings via chained STABLE argsorts (int64 keys are unavailable
+    # without x64 mode). Invalid edges get q = cap1 so they sort last.
+    # 1. dedup (q, src) — reference's `already` check (src/hnsw.rs:1258-1267)
+    p_a = jnp.argsort(jnp.where(valid, sv, cap1), stable=True)
+    q_a, s_a, d_a, v_a = qv[p_a], sv[p_a], ed[p_a], valid[p_a]
+    p_b = jnp.argsort(jnp.where(v_a, q_a, cap1), stable=True)
+    q_b, s_b, d_b, v_b = q_a[p_b], s_a[p_b], d_a[p_b], v_a[p_b]
+    dup = jnp.concatenate([jnp.zeros((1,), bool),
+                           (q_b[1:] == q_b[:-1]) & (s_b[1:] == s_b[:-1])])
+    v2 = v_b & ~dup
+    # 2. group by target, ascending distance: stable sort by distance bits, then by q
+    # (distances are >= 0, so their f32 bit patterns sort correctly as int32)
+    dbits = lax.bitcast_convert_type(jnp.where(v2, d_b, jnp.inf).astype(jnp.float32),
+                                     jnp.int32)
+    p_c = jnp.argsort(dbits, stable=True)
+    q_c, s_c, d_c, v_c = q_b[p_c], s_b[p_c], d_b[p_c], v2[p_c]
+    p_d = jnp.argsort(jnp.where(v_c, q_c, cap1), stable=True)
+    q3, s3, d3, v3 = q_c[p_d], s_c[p_d], d_c[p_d], v_c[p_d]
+    idx = jnp.arange(E)
+    newq = jnp.concatenate([jnp.ones((1,), bool), q3[1:] != q3[:-1]])
+    first = v3 & newq
+    slot = jnp.cumsum(first) - 1  # group slot per edge
+    seg_start = lax.cummax(jnp.where(first, idx, -1))
+    rank = idx - seg_start
+    keep = v3 & (rank < width)
+    # 3. dense incoming table [E+1, width] (row E is the spill for dropped edges)
+    r_slot = jnp.where(keep, slot, E)
+    r_rank = jnp.where(keep, jnp.clip(rank, 0, width - 1), 0)
+    inc_ids = jnp.full((E + 1, width), -1, jnp.int32).at[r_slot, r_rank].set(
+        jnp.where(keep, s3, -1).astype(jnp.int32))
+    inc_d = jnp.full((E + 1, width), jnp.inf, jnp.float32).at[r_slot, r_rank].set(
+        jnp.where(keep, d3, jnp.inf).astype(jnp.float32))
+    tq = jnp.full((E + 1,), sink, jnp.int32).at[jnp.where(first, slot, E)].set(
+        jnp.where(first, q3, sink).astype(jnp.int32))
+    # 4. merge with existing rows: sort by distance, truncate to width
+    ex_ids = tbl_ids[tq]
+    ex_d = jnp.where(ex_ids < 0, jnp.inf, tbl_d[tq])
+    m_ids = jnp.concatenate([ex_ids, inc_ids], axis=1)
+    m_d = jnp.concatenate([ex_d, inc_d], axis=1)
+    order = jnp.argsort(m_d, axis=1)[:, :width]
+    m_ids = jnp.take_along_axis(m_ids, order, 1)
+    m_d = jnp.take_along_axis(m_d, order, 1)
+    m_ids = jnp.where(jnp.isfinite(m_d), m_ids, -1)
+    return tbl_ids.at[tq].set(m_ids), tbl_d.at[tq].set(m_d)
+
+
+# ------------------------------------------------------------------- round step ------
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(3,))
+def _round_step(vectors, sqnorms, levels, tables, batch_ids, entry, *, cfg: RoundConfig):
+    """One synchronized insertion round. ``tables`` is a tuple of (ids, dists) per
+    layer; donated and returned updated."""
+    metric = cfg.metric
+    cap1 = cfg.cap1
+    sink = cap1 - 1
+    L = cfg.num_layers
+    ids_t = [t[0] for t in tables]
+    d_t = [t[1] for t in tables]
+    q = vectors[batch_ids]
+    lv = levels[batch_ids]
+    alive = lv >= 0
+    B = cfg.B
+    # distance to entry
+    d0 = scores_gathered(metric, q, jnp.broadcast_to(vectors[entry][None, None, :],
+                                                     (B, 1, q.shape[1])),
+                         jnp.broadcast_to(sqnorms[entry][None, None], (B, 1)))[:, 0]
+    pivot = jnp.broadcast_to(entry, (B,)).astype(jnp.int32)
+
+    # 1. upper-layer ef=1 descent with projection recording
+    recs = []
+
+    def rec_hook(layer, p, dd, act):
+        recs.append((layer, p, dd, act))
+        return None
+
+    desc_tables = [ids_t[l] if (l < L and cfg.nonempty[l]) else None for l in range(L)]
+    # greedy_min_descent skips layers >= len(layer_ids); feed only nonempty layers
+    pivot, d0, _ = greedy_min_descent(
+        metric, vectors, sqnorms,
+        [t if t is not None else jnp.full((cap1, 1), -1, jnp.int32) for t in desc_tables],
+        q, pivot, d0, top_layer=cfg.max_obs, stop_level=lv, record_hook=rec_hook)
+    # projection links (reference src/hnsw.rs:1140-1148): the nearest point found at
+    # each traversed upper layer is recorded in the new point's row at that layer
+    for (layer, p, dd, act) in recs:
+        if layer >= L or not cfg.nonempty[layer]:
+            continue
+        a = act & alive
+        tgt = jnp.where(a, batch_ids, sink)
+        ids_t[layer] = ids_t[layer].at[tgt, 0].set(jnp.where(a, p, -1))
+        d_t[layer] = d_t[layer].at[tgt, 0].set(jnp.where(a, dd, jnp.inf))
+
+    # 2-4. construction loop, layers high..0
+    sel_per_layer = [None] * L
+    for l in range(L - 1, -1, -1):
+        if not cfg.nonempty[l]:
+            continue
+        act_l = alive & (lv >= l)
+        cand_ids, cand_d = beam_search_layer(metric, vectors, sqnorms, ids_t[l], q,
+                                             pivot, d0, ef=cfg.efc, expand=cfg.expand,
+                                             active=act_l)
+        nb_conn = cfg.widths[l]  # 2M at layer 0 else M (reference src/hnsw.rs:1177-1182)
+        sel_ids, sel_d = select_neighbours_batched(metric, vectors, sqnorms, cand_ids,
+                                                   cand_d, nb_conn, cfg.keep_pruned)
+        tgt = jnp.where(act_l, batch_ids, sink)
+        ids_t[l] = ids_t[l].at[tgt].set(jnp.where(act_l[:, None], sel_ids, -1))
+        d_t[l] = d_t[l].at[tgt].set(jnp.where(act_l[:, None], sel_d, jnp.inf))
+        sel_per_layer[l] = (sel_ids, sel_d, act_l)
+        has = act_l & jnp.isfinite(sel_d[:, 0])
+        pivot = jnp.where(has, sel_ids[:, 0], pivot)
+        d0 = jnp.where(has, sel_d[:, 0], d0)
+
+    # 5. reverse-link merge, grouped by target layer l_n = new point's level
+    parts_q, parts_d, parts_v = [], [], []
+    for l in range(L):
+        if sel_per_layer[l] is None:
+            continue
+        sids, sd, act_l = sel_per_layer[l]
+        parts_q.append(sids)
+        parts_d.append(sd)
+        parts_v.append((sids >= 0) & act_l[:, None])
+    if parts_q:
+        eq = jnp.concatenate(parts_q, axis=1)  # [B, TOT]
+        edd = jnp.concatenate(parts_d, axis=1)
+        ev = jnp.concatenate(parts_v, axis=1)
+        esrc = jnp.broadcast_to(batch_ids[:, None], eq.shape)
+        elv = jnp.broadcast_to(lv[:, None], eq.shape)
+        eq, edd, ev, esrc, elv = (x.reshape(-1) for x in (eq, edd, ev, esrc, elv))
+        # no self-links (reference src/hnsw.rs:1252) — cannot occur since searches
+        # never see round-mates, but guard anyway
+        ev = ev & (eq != esrc)
+        for l_n in range(L):
+            v_ln = ev & (elv == l_n)
+            ids_t[l_n], d_t[l_n] = _reverse_merge(ids_t[l_n], d_t[l_n], eq, esrc, edd,
+                                                  v_ln, cfg.widths[l_n])
+    return tuple((i, d) for i, d in zip(ids_t, d_t))
+
+
+# ------------------------------------------------------------------ host driver ------
+
+def device_parallel_insert(hnsw, pairs, batch_size: Optional[int] = None,
+                           expand: int = 4):
+    """Build/extend an index with synchronized device rounds. Mutates ``hnsw`` in
+    place (host arrays are refreshed from the device tables at the end)."""
+    if not pairs:
+        return
+    if hnsw._nb_point == 0:
+        v, i = pairs[0]
+        hnsw.insert(v, i)  # seed entry point
+        pairs = pairs[1:]
+        if not pairs:
+            return
+    n0 = hnsw._nb_point
+    npts = len(pairs)
+    # pre-sample levels (deterministic stream) & allocate host rows
+    new_levels = hnsw.level_sampler.generate(npts)
+    hnsw._set_dim(len(pairs[0][0]))
+    hnsw._ensure_cap(n0 + npts)
+    for k, ((v, oid), lvl) in enumerate(zip(pairs, new_levels)):
+        i = n0 + k
+        hnsw._data[i] = np.asarray(v, dtype=hnsw.dtype)
+        hnsw._origin[i] = oid
+        hnsw._level[i] = lvl
+        hnsw._rank_in_layer[i] = hnsw._layer_npoints[lvl]
+        hnsw._layer_npoints[lvl] += 1
+    n_total = n0 + npts
+    L = max(max(hnsw._layers.keys(), default=0), int(new_levels.max(initial=0)),
+            int(hnsw._level[:n0].max(initial=0))) + 1
+    widths = tuple(hnsw._layer_width(l) for l in range(L))
+    cap1 = ((n_total + 7) // 8) * 8 + 1
+    # device state
+    vec = np.zeros((cap1, hnsw._dim), np.float32)
+    vec[:n_total] = hnsw._data[:n_total].astype(np.float32)
+    levels_a = np.full(cap1, -1, np.int32)
+    levels_a[:n_total] = hnsw._level[:n_total]
+    vectors = jnp.asarray(vec)
+    sqnorms = (vectors * vectors).sum(-1)
+    levels_j = jnp.asarray(levels_a)
+    tables = []
+    for l in range(L):
+        ids = np.full((cap1, widths[l]), -1, np.int32)
+        dd = np.full((cap1, widths[l]), np.inf, np.float32)
+        t = hnsw._layers.get(l)
+        if t is not None:
+            ids[:n0, : t.width] = t.ids[:n0]
+            dd[:n0, : t.width] = t.dists[:n0]
+        tables.append((jnp.asarray(ids), jnp.asarray(dd)))
+    tables = tuple(tables)
+    # round bookkeeping (host): running per-layer counts BEFORE each round + entry
+    counts = np.array([int((hnsw._level[:n0] == l).sum()) for l in range(L)], np.int64)
+    entry = hnsw._entry
+    entry_level = int(hnsw._level[entry])
+    B = int(batch_size) if batch_size else int(min(1024, max(64, npts)))
+    metric = hnsw.metric.name
+    s = n0
+    while s < n_total:
+        # Cold-start ramp: a round may not exceed the number of points already in the
+        # graph, else early points all link to the few seeds, whose rows can only
+        # absorb `width` backlinks, stranding the rest unreachable. Geometric growth
+        # (8, 16, ... B) costs log2(B) extra rounds and bounds recompiles.
+        Br = int(min(B, _next_pow2(max(8, s))))
+        e = min(s + Br, n_total)
+        bidx = np.full(Br, cap1 - 1, np.int32)  # pad -> sink (level -1, inactive)
+        bidx[: e - s] = np.arange(s, e, dtype=np.int32)
+        cfg = RoundConfig(B=Br, cap1=cap1, num_layers=L, widths=widths,
+                          efc=hnsw.ef_construction, M=hnsw.max_nb_connection,
+                          metric=metric, expand=int(expand), max_obs=entry_level,
+                          nonempty=tuple(bool(c > 0) for c in counts),
+                          keep_pruned=bool(hnsw.keep_pruned))
+        tables = _round_step(vectors, sqnorms, levels_j, tables, jnp.asarray(bidx),
+                             jnp.int32(entry), cfg=cfg)
+        # post-round: update counts and promote entry (reference check_entry_point)
+        round_levels = hnsw._level[s:e]
+        for lvl in round_levels:
+            counts[lvl] += 1
+        mx = int(round_levels.max(initial=-1))
+        if mx > entry_level:
+            entry = int(s + int(np.argmax(round_levels == mx)))
+            entry_level = mx
+        s = e
+    # flush device tables back to host
+    for l in range(L):
+        t = hnsw._layer_table(l)
+        ids = np.array(tables[l][0][:n_total])
+        dd = np.array(tables[l][1][:n_total])
+        t.ids[:n_total] = ids[:, : t.width]
+        t.dists[:n_total] = dd[:, : t.width]
+        t.counts[:n_total] = (ids[:, : t.width] >= 0).sum(1)
+    hnsw._nb_point = n_total
+    hnsw._entry = entry
+    hnsw._version += 1

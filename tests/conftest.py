@@ -4,10 +4,17 @@ vars must be set before jax is imported anywhere."""
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # force: the ambient env may preset a TPU platform
+# The ambient environment injects an `axon` TPU plugin whose register() FORCES
+# jax_platforms="axon,cpu" (sitecustomize on PYTHONPATH), so the JAX_PLATFORMS env var
+# alone is not enough — we must also override the config after import (below).
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import sys
 
