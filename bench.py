@@ -1,0 +1,131 @@
+"""Benchmark driver: batched ANN search QPS/chip at recall@10 >= 0.98.
+
+Mirrors the reference's headline methodology (ann-benchmarks style: build, sweep
+ef_search, report QPS at a recall floor — reference ``examples/ann-sift1m-128-euclidean.rs``,
+``README.md:115-122``; baseline numbers in BASELINE.md). Runs on the real TPU chip.
+
+Dataset is synthetic (zero-egress container): uniform [0,1)^d vectors, the same
+regime as the reference's ``random.rs`` config, at SIFT dimensionality. Ground truth
+is exact brute force computed on-device.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Environment knobs: BENCH_N (default 200000), BENCH_D (128), BENCH_M (16),
+BENCH_EFC (200), BENCH_BATCH (1024 build batch), BENCH_QBATCH (1024 query batch).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    from hnsw_tpu import Hnsw
+    from hnsw_tpu.ops.distances import get_metric
+
+    N = int(os.environ.get("BENCH_N", 200_000))
+    d = int(os.environ.get("BENCH_D", 128))
+    M = int(os.environ.get("BENCH_M", 16))
+    efc = int(os.environ.get("BENCH_EFC", 200))
+    BB = int(os.environ.get("BENCH_BATCH", 1024))
+    QB = int(os.environ.get("BENCH_QBATCH", 1024))
+    k = 10
+    RECALL_FLOOR = float(os.environ.get("BENCH_RECALL", 0.98))
+
+    log(f"[bench] devices: {jax.devices()}")
+    rng = np.random.default_rng(1234)
+    # Low-intrinsic-dimension synthetic in the regime of the reference's benchmark
+    # datasets (SIFT/GloVe descriptors have intrinsic dim ~12-16; i.i.d. uniform 128-d
+    # suffers total distance concentration and is meaningless for ANN). Latent 16-d
+    # gaussians through a fixed random linear map, plus small ambient noise.
+    ID = int(os.environ.get("BENCH_INTRINSIC", 16))
+    A = rng.standard_normal((ID, d)).astype(np.float32) / np.sqrt(ID)
+    X = (rng.standard_normal((N, ID)).astype(np.float32) @ A
+         + 0.02 * rng.standard_normal((N, d)).astype(np.float32))
+    Q = (rng.standard_normal((QB, ID)).astype(np.float32) @ A
+         + 0.02 * rng.standard_normal((QB, d)).astype(np.float32))
+
+    # exact ground truth on device (chunked matmul)
+    log("[bench] computing ground truth ...")
+    Xd = jnp.asarray(X)
+    xsq = (Xd * Xd).sum(-1)
+    Qd = jnp.asarray(Q)
+    qsq = (Qd * Qd).sum(-1)
+
+    @jax.jit
+    def _truth(Qd, qsq):
+        d2 = qsq[:, None] - 2.0 * (Qd @ Xd.T) + xsq[None, :]
+        val, idx = jax.lax.top_k(-d2, k)
+        return jnp.sqrt(jnp.maximum(-val, 0.0)), idx
+
+    truth_d, truth_i = (np.array(a) for a in _truth(Qd, qsq))
+    kth = truth_d[:, k - 1]
+
+    # build
+    log(f"[bench] building index: N={N} d={d} M={M} efC={efc} batch={BB}")
+    h = Hnsw(max_nb_connection=M, max_elements=N, ef_construction=efc, dist="L2")
+    t0 = time.time()
+    h.parallel_insert(list(zip(X, range(N))), mode="device", batch_size=BB)
+    build_s = time.time() - t0
+    log(f"[bench] build done in {build_s:.1f}s ({N / build_s:.0f} pts/s)")
+
+    def run_batch(ef):
+        ids, dists = h.search_batch(Q, k, ef)
+        return ids, dists
+
+    def recall_of(dists):
+        return float((dists <= kth[:, None] + 1e-6).sum() / (QB * k))
+
+    # ef sweep to hit the recall floor
+    chosen_ef, chosen_recall = None, 0.0
+    for ef in (16, 24, 32, 48, 64, 96, 128, 192, 256, 384, 512):
+        ids, dists = run_batch(ef)
+        r = recall_of(dists)
+        log(f"[bench] ef={ef}: recall@{k}={r:.4f}")
+        chosen_ef, chosen_recall = ef, r
+        if r >= RECALL_FLOOR:
+            break
+
+    # steady-state QPS at the chosen ef
+    run_batch(chosen_ef)  # warm
+    reps = 10
+    t0 = time.time()
+    for _ in range(reps):
+        ids, dists = run_batch(chosen_ef)
+    dt = time.time() - t0
+    qps = reps * QB / dt
+    log(f"[bench] ef={chosen_ef} recall={chosen_recall:.4f}: "
+        f"{qps:.0f} QPS ({dt / reps * 1000:.1f} ms / {QB} queries)")
+
+    # reference comparable row: SIFT1M M=64 efC=1600 -> 15,258 QPS @ 0.9907 on
+    # i9-13900HX 24c (BASELINE.md); this is the north-star denominator.
+    baseline_qps = 15258.0
+    print(json.dumps({
+        "metric": f"synthetic-{N // 1000}k-{d}d QPS/chip at recall@{k}>="
+                  f"{RECALL_FLOOR} (got {chosen_recall:.4f} @ ef={chosen_ef}; "
+                  f"build {build_s:.0f}s)",
+        "value": round(qps, 1),
+        "unit": "qps",
+        "vs_baseline": round(qps / baseline_qps, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,229 @@
+"""Native runtime tier: C++ multithreaded graph builder behind a C ABI.
+
+The capability analog of the reference's FFI layer (``src/libext.rs``): opaque index
+handles, insert/search/parallel variants, custom function-pointer distances, plus
+flat-array exports so a natively-built graph hands off zero-copy to the TPU search
+path. The shared library builds on first use with g++ (ctypes binding — no pybind11
+in this environment)."""
+
+from __future__ import annotations
+
+import ctypes as C
+import logging
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "hnsw_core.cpp")
+_SO = os.path.join(_HERE, "libhnsw_core.so")
+_lock = threading.Lock()
+_lib = None
+
+DIST_FN_T = C.CFUNCTYPE(C.c_float, C.POINTER(C.c_float), C.POINTER(C.c_float),
+                        C.c_uint64)
+FILTER_FN_T = C.CFUNCTYPE(C.c_int, C.c_int64)
+
+
+def _build_so() -> str:
+    if (os.path.exists(_SO)
+            and os.path.getmtime(_SO) >= os.path.getmtime(_SRC)):
+        return _SO
+    cmd = ["g++", "-O3", "-march=native", "-ffast-math", "-funroll-loops", "-DNDEBUG", "-std=c++17", "-shared", "-fPIC",
+           "-pthread", "-o", _SO, _SRC]
+    log.info("building native core: %s", " ".join(cmd))
+    subprocess.run(cmd, check=True, capture_output=True)
+    return _SO
+
+
+def native_lib():
+    """Load (building if needed) the native core; raises on toolchain failure."""
+    global _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        lib = C.CDLL(_build_so())
+        lib.hnsw_init.restype = C.c_void_p
+        lib.hnsw_init.argtypes = [C.c_uint64, C.c_uint64, C.c_uint64, C.c_uint64,
+                                  C.c_char_p]
+        lib.hnsw_init_ptrdist.restype = C.c_void_p
+        lib.hnsw_init_ptrdist.argtypes = [C.c_uint64, C.c_uint64, C.c_uint64,
+                                          C.c_uint64, DIST_FN_T]
+        lib.hnsw_drop.argtypes = [C.c_void_p]
+        lib.hnsw_set_extend_candidates.argtypes = [C.c_void_p, C.c_int]
+        lib.hnsw_set_keeping_pruned.argtypes = [C.c_void_p, C.c_int]
+        lib.hnsw_modify_level_scale.argtypes = [C.c_void_p, C.c_double]
+        lib.hnsw_insert.argtypes = [C.c_void_p, C.POINTER(C.c_float), C.c_uint64,
+                                    C.c_int64]
+        lib.hnsw_parallel_insert.argtypes = [C.c_void_p, C.POINTER(C.c_float),
+                                             C.c_uint64, C.c_uint64,
+                                             C.POINTER(C.c_int64), C.c_int]
+        lib.hnsw_search.restype = C.c_uint64
+        lib.hnsw_search.argtypes = [C.c_void_p, C.POINTER(C.c_float), C.c_uint64,
+                                    C.c_uint64, C.POINTER(C.c_int64),
+                                    C.POINTER(C.c_float)]
+        lib.hnsw_search_filter.restype = C.c_uint64
+        lib.hnsw_search_filter.argtypes = [C.c_void_p, C.POINTER(C.c_float),
+                                           C.c_uint64, C.c_uint64, FILTER_FN_T,
+                                           C.POINTER(C.c_int64), C.POINTER(C.c_float)]
+        lib.hnsw_parallel_search.argtypes = [C.c_void_p, C.POINTER(C.c_float),
+                                             C.c_uint64, C.c_uint64, C.c_uint64,
+                                             C.c_int, C.POINTER(C.c_int64),
+                                             C.POINTER(C.c_float)]
+        lib.hnsw_nb_points.restype = C.c_uint64
+        lib.hnsw_nb_points.argtypes = [C.c_void_p]
+        lib.hnsw_dim.restype = C.c_uint64
+        lib.hnsw_dim.argtypes = [C.c_void_p]
+        lib.hnsw_entry_point.restype = C.c_int64
+        lib.hnsw_entry_point.argtypes = [C.c_void_p]
+        lib.hnsw_max_level_used.restype = C.c_int32
+        lib.hnsw_max_level_used.argtypes = [C.c_void_p]
+        lib.hnsw_layer_count.restype = C.c_int64
+        lib.hnsw_layer_count.argtypes = [C.c_void_p, C.c_int32]
+        lib.hnsw_level_scale.restype = C.c_double
+        lib.hnsw_level_scale.argtypes = [C.c_void_p]
+        lib.hnsw_export_meta.argtypes = [C.c_void_p, C.POINTER(C.c_int64),
+                                         C.POINTER(C.c_int32), C.POINTER(C.c_int32)]
+        lib.hnsw_export_data.argtypes = [C.c_void_p, C.POINTER(C.c_float)]
+        lib.hnsw_export_layer.argtypes = [C.c_void_p, C.c_int32,
+                                          C.POINTER(C.c_int32), C.POINTER(C.c_float)]
+        _lib = lib
+        return lib
+
+
+def _fp(a: np.ndarray):
+    return a.ctypes.data_as(C.POINTER(C.c_float))
+
+
+class NativeHnsw:
+    """ctypes wrapper over the native index — the analog of the reference's
+    ``HnswApi*`` opaque handles (``src/libext.rs:38-101``)."""
+
+    def __init__(self, max_nb_connection=16, max_elements=10_000, max_layer=16,
+                 ef_construction=200, dist="L2", dist_fn=None):
+        self.lib = native_lib()
+        self._keepalive = []
+        if dist_fn is not None:
+            cb = DIST_FN_T(lambda a, b, n: float(
+                dist_fn(np.ctypeslib.as_array(a, (n,)), np.ctypeslib.as_array(b, (n,)))))
+            self._keepalive.append(cb)
+            self.h = self.lib.hnsw_init_ptrdist(max_nb_connection, ef_construction,
+                                                max_elements, max_layer, cb)
+            self.dist_name = "DistPtr"
+        else:
+            self.h = self.lib.hnsw_init(max_nb_connection, ef_construction,
+                                        max_elements, max_layer,
+                                        str(dist).encode())
+            self.dist_name = str(dist)
+        if not self.h:
+            raise ValueError("native init failed (check max_nb_connection <= 256)")
+        self.M = max_nb_connection
+        self.max_layer = max_layer
+        self.ef_construction = ef_construction
+
+    def __del__(self):
+        try:
+            if getattr(self, "h", None):
+                self.lib.hnsw_drop(self.h)
+                self.h = None
+        except Exception:
+            pass
+
+    def set_extend_candidates(self, flag: bool):
+        self.lib.hnsw_set_extend_candidates(self.h, int(flag))
+
+    def set_keeping_pruned(self, flag: bool):
+        self.lib.hnsw_set_keeping_pruned(self.h, int(flag))
+
+    def modify_level_scale(self, f: float):
+        self.lib.hnsw_modify_level_scale(self.h, float(f))
+
+    def insert(self, v, data_id: int):
+        v = np.ascontiguousarray(v, np.float32)
+        self.lib.hnsw_insert(self.h, _fp(v), v.shape[-1], int(data_id))
+
+    def parallel_insert(self, X, ids, n_threads: int = 0):
+        X = np.ascontiguousarray(X, np.float32)
+        ids = np.ascontiguousarray(ids, np.int64)
+        self.lib.hnsw_parallel_insert(self.h, _fp(X), X.shape[0], X.shape[1],
+                                      ids.ctypes.data_as(C.POINTER(C.c_int64)),
+                                      int(n_threads))
+
+    def search(self, q, knbn: int, ef: int, filter_fn=None):
+        q = np.ascontiguousarray(q, np.float32)
+        out_i = np.full(knbn, -1, np.int64)
+        out_d = np.full(knbn, np.inf, np.float32)
+        if filter_fn is None:
+            k = self.lib.hnsw_search(self.h, _fp(q), knbn, ef,
+                                     out_i.ctypes.data_as(C.POINTER(C.c_int64)),
+                                     _fp(out_d))
+        else:
+            cb = FILTER_FN_T(lambda i: 1 if filter_fn(int(i)) else 0)
+            k = self.lib.hnsw_search_filter(
+                self.h, _fp(q), knbn, ef, cb,
+                out_i.ctypes.data_as(C.POINTER(C.c_int64)), _fp(out_d))
+        return out_i[:k], out_d[:k]
+
+    def parallel_search(self, Q, knbn: int, ef: int, n_threads: int = 0):
+        Q = np.ascontiguousarray(Q, np.float32)
+        nq = Q.shape[0]
+        out_i = np.full((nq, knbn), -1, np.int64)
+        out_d = np.full((nq, knbn), np.inf, np.float32)
+        self.lib.hnsw_parallel_search(self.h, _fp(Q), nq, knbn, ef, int(n_threads),
+                                      out_i.ctypes.data_as(C.POINTER(C.c_int64)),
+                                      _fp(out_d))
+        return out_i, out_d
+
+    def __len__(self):
+        return int(self.lib.hnsw_nb_points(self.h))
+
+    # ----------------------------------------------------- zero-copy TPU handoff -----
+
+    def to_hnsw(self):
+        """Export the native graph into a Python ``Hnsw`` (same flat layout), making
+        every framework capability — device batched search, persistence, flatten,
+        filters — available on a natively-built graph."""
+        from ..models.hnsw import Hnsw
+        n = len(self)
+        dim = int(self.lib.hnsw_dim(self.h))
+        h = Hnsw(max_nb_connection=self.M, max_elements=max(n, 8),
+                 max_layer=self.max_layer, ef_construction=self.ef_construction,
+                 dist=self.dist_name if self.dist_name != "DistPtr" else "L2")
+        if n == 0:
+            return h
+        h._set_dim(dim)
+        h._ensure_cap(n)
+        self.lib.hnsw_export_data(self.h, _fp(h._data[:n].reshape(-1)) if h._data.dtype == np.float32 else None)
+        org = np.empty(n, np.int64)
+        lvl = np.empty(n, np.int32)
+        rnk = np.empty(n, np.int32)
+        self.lib.hnsw_export_meta(self.h, org.ctypes.data_as(C.POINTER(C.c_int64)),
+                                  lvl.ctypes.data_as(C.POINTER(C.c_int32)),
+                                  rnk.ctypes.data_as(C.POINTER(C.c_int32)))
+        h._origin[:n] = org
+        h._level[:n] = lvl
+        h._rank_in_layer[:n] = rnk
+        for l in range(int(self.lib.hnsw_max_level_used(self.h)) + 1):
+            cnt = int(self.lib.hnsw_layer_count(self.h, l))
+            h._layer_npoints[l] = cnt
+        # export every layer that can hold links (levels + l_n backlinks + projections)
+        top = int(lvl.max(initial=0))
+        for l in range(top + 1):
+            t = h._layer_table(l)
+            ids = np.empty((n, t.width), np.int32)
+            dd = np.empty((n, t.width), np.float32)
+            self.lib.hnsw_export_layer(self.h, l,
+                                       ids.ctypes.data_as(C.POINTER(C.c_int32)),
+                                       _fp(dd))
+            t.ids[:n] = ids
+            t.dists[:n] = dd
+            t.counts[:n] = (ids >= 0).sum(1)
+        h._nb_point = n
+        h._entry = int(self.lib.hnsw_entry_point(self.h))
+        h._version += 1
+        return h

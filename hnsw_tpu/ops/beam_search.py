@@ -246,8 +246,7 @@ def greedy_min_descent(metric_name, vectors, sqnorms, layer_ids, q, pivot, pivot
 
 # --------------------------------------------------------------- top-level search ----
 
-@partial(jax.jit, static_argnames=("ef", "knbn", "expand", "use_mask"))
-def _search_program(g, q, mask, *, ef: int, knbn: int, expand: int, use_mask: bool):
+def search_program(g, q, mask, *, ef: int, knbn: int, expand: int, use_mask: bool):
     """Full production search: greedy descent then beam search at the lowest
     non-empty layer — reference ``search_filter`` (``src/hnsw.rs:1487-1599``)."""
     B = q.shape[0]
@@ -265,6 +264,10 @@ def _search_program(g, q, mask, *, ef: int, knbn: int, expand: int, use_mask: bo
         q, pivot, d0, ef=max(ef, knbn), expand=expand,
         mask=mask if use_mask else None)
     return ids[:, :knbn], dists[:, :knbn]
+
+
+_search_program = jax.jit(search_program,
+                          static_argnames=("ef", "knbn", "expand", "use_mask"))
 
 
 def device_search_batch(hnsw, queries: np.ndarray, knbn: int, ef: int, filter=None,

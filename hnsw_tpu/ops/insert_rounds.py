@@ -195,8 +195,7 @@ def _reverse_merge(tbl_ids, tbl_d, eq, esrc, ed, valid, width: int):
 
 # ------------------------------------------------------------------- round step ------
 
-@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(3,))
-def _round_step(vectors, sqnorms, levels, tables, batch_ids, entry, *, cfg: RoundConfig):
+def round_step(vectors, sqnorms, levels, tables, batch_ids, entry, *, cfg: RoundConfig):
     """One synchronized insertion round. ``tables`` is a tuple of (ids, dists) per
     layer; donated and returned updated."""
     metric = cfg.metric
@@ -282,6 +281,9 @@ def _round_step(vectors, sqnorms, levels, tables, batch_ids, entry, *, cfg: Roun
             ids_t[l_n], d_t[l_n] = _reverse_merge(ids_t[l_n], d_t[l_n], eq, esrc, edd,
                                                   v_ln, cfg.widths[l_n])
     return tuple((i, d) for i, d in zip(ids_t, d_t))
+
+
+_round_step = partial(jax.jit, static_argnames=("cfg",), donate_argnums=(3,))(round_step)
 
 
 # ------------------------------------------------------------------ host driver ------

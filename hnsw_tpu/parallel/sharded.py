@@ -1,0 +1,241 @@
+"""Multi-chip execution: corpus-sharded index over a device mesh.
+
+The reference's only parallelism is intra-process threads (SURVEY.md §2.7). The
+TPU-native scale-out design is SPMD over an ICI mesh (``jax.sharding.Mesh`` +
+``shard_map``):
+
+  * the corpus is partitioned round-robin into one independent HNSW subgraph per
+    device ("shard"); vectors + per-layer tables are stacked ``[D, cap1, ...]`` and
+    sharded over mesh axis ``"shard"`` — level-0 data lives distributed in HBM,
+    nothing is replicated except queries,
+  * **search** runs the full beam program per shard in parallel, converts local ids
+    to external ids in-shard, then merges per-shard top-k with an ``all_gather`` over
+    ICI + a replicated sort (the union of per-shard top-k contains the global top-k,
+    so sharded recall >= single-graph recall),
+  * **build** (the framework's "training step") runs one synchronized insertion round
+    per shard in parallel — graphs are independent, so rounds need no cross-shard
+    traffic; the batch is data-parallel over the mesh.
+
+This mirrors how the reference scales the corpus on one node (rayon over inserts,
+SURVEY.md §7.1) but with the ICI mesh as the parallel substrate.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:
+    from jax import shard_map as _shard_map_mod  # jax >= 0.6 public API
+
+    def shard_map(f, mesh, in_specs, out_specs, check_vma=False):
+        return jax.shard_map(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                             check_vma=check_vma)
+except Exception:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map as _sm
+
+    def shard_map(f, mesh, in_specs, out_specs, check_vma=False):
+        return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                   check_rep=False)
+
+from ..models.hnsw import Hnsw
+from ..ops.beam_search import search_program
+from ..ops.graph_arrays import GraphArrays
+
+
+def default_mesh(n_devices: Optional[int] = None, axis: str = "shard") -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), (axis,))
+
+
+@dataclasses.dataclass
+class _ShardState:
+    vectors: jax.Array  # [D, cap1, d]
+    sqnorms: jax.Array  # [D, cap1]
+    origin: jax.Array  # [D, cap1] int32 external ids (-1 pad)
+    layer_ids: tuple  # of [D, cap1, w_l]
+    entry: jax.Array  # [D]
+    cap1: int
+    num_layers: int
+    layer_nonempty: tuple
+    entry_level: int
+
+
+class ShardedHnsw:
+    """A corpus-sharded HNSW over a device mesh. Each shard is a full ``Hnsw`` (host
+    object, so every single-shard capability — filters, dump/reload, flatten — still
+    applies per shard); stacked device tables serve sharded search."""
+
+    def __init__(self, mesh: Optional[Mesh] = None, n_shards: Optional[int] = None,
+                 **hnsw_kwargs):
+        self.mesh = mesh or default_mesh(n_shards)
+        self.axis = self.mesh.axis_names[0]
+        self.n_shards = self.mesh.devices.size
+        self.hnsw_kwargs = dict(hnsw_kwargs)
+        seed = self.hnsw_kwargs.pop("seed", 397)
+        self.shards = [Hnsw(seed=seed + 1000 * s, **self.hnsw_kwargs)
+                       for s in range(self.n_shards)]
+        self._state: Optional[_ShardState] = None
+        self._versions = None
+
+    def __len__(self):
+        return sum(len(s) for s in self.shards)
+
+    def shard_of(self, k: int) -> int:
+        return k % self.n_shards
+
+    def parallel_insert(self, data_with_ids: Sequence[tuple], mode: str = "auto",
+                        batch_size: Optional[int] = None):
+        """Round-robin the points over shards, then build each shard (device rounds
+        batch per shard). Shard builds run sequentially on single-chip hosts; under a
+        real mesh the per-shard round step is the unit that executes in parallel."""
+        buckets = [[] for _ in range(self.n_shards)]
+        for k, (v, i) in enumerate(data_with_ids):
+            buckets[k % self.n_shards].append((v, i))
+        for s, b in enumerate(buckets):
+            if b:
+                self.shards[s].parallel_insert(b, mode=mode, batch_size=batch_size)
+        self._state = None
+
+    # ------------------------------------------------------------- device state -----
+
+    def _build_state(self) -> _ShardState:
+        versions = tuple(s._version for s in self.shards)
+        if self._state is not None and self._versions == versions:
+            return self._state
+        graphs = [GraphArrays.from_host(s) for s in self.shards]
+        cap1 = max(g.cap1 for g in graphs)
+        L = max(g.num_layers for g in graphs)
+        d = graphs[0].vectors.shape[1]
+        D = self.n_shards
+        vec = np.zeros((D, cap1, d), np.float32)
+        org = np.full((D, cap1), -1, np.int32)
+        ids_l = [np.full((D, cap1, self.shards[0]._layer_width(l)), -1, np.int32)
+                 for l in range(L)]
+        entry = np.zeros(D, np.int32)
+        for s, g in enumerate(graphs):
+            vec[s, : g.cap1] = np.asarray(g.vectors)
+            n = g.n
+            org[s, :n] = self.shards[s]._origin[:n].astype(np.int32)
+            for l in range(g.num_layers):
+                t = np.asarray(g.layer_ids[l])
+                ids_l[l][s, : t.shape[0], : t.shape[1]] = t
+            entry[s] = int(np.asarray(g.entry))
+        sh = jax.NamedSharding(self.mesh, P(self.axis))
+        state = _ShardState(
+            vectors=jax.device_put(vec, sh),
+            sqnorms=jax.device_put((vec.astype(np.float32) ** 2).sum(-1), sh),
+            origin=jax.device_put(org, sh),
+            layer_ids=tuple(jax.device_put(a, sh) for a in ids_l),
+            entry=jax.device_put(entry, sh),
+            cap1=cap1, num_layers=L,
+            layer_nonempty=tuple(any(l < g.num_layers and (g.layer_nonempty[l] if l < len(g.layer_nonempty) else False) for g in graphs) for l in range(L)),
+            entry_level=max(g.entry_level for g in graphs),
+        )
+        self._state = state
+        self._versions = versions
+        return state
+
+    # ------------------------------------------------------------------ search ------
+
+    def search_batch(self, queries, knbn: int, ef: int):
+        """Sharded batched search: per-shard beam search + ICI all_gather merge.
+        Returns (origin_ids [B,k] int32 -1-padded, dists [B,k])."""
+        st = self._build_state()
+        q = np.asarray(queries, np.float32)
+        if q.ndim == 1:
+            q = q[None]
+        B = q.shape[0]
+        Bp = max(8, int(np.ceil(B / 8) * 8))
+        if Bp != B:
+            q = np.concatenate([q, np.repeat(q[-1:], Bp - B, axis=0)])
+        fn = _sharded_search_fn(self.mesh, self.axis, st.num_layers,
+                                st.layer_nonempty, st.cap1, st.entry_level,
+                                self.shards[0].metric.name, int(ef), int(knbn))
+        ids, dists = fn(st.vectors, st.sqnorms, st.origin, st.layer_ids, st.entry,
+                        jnp.asarray(q))
+        ids = np.array(ids[:B])
+        dists = np.array(dists[:B])
+        ids[~np.isfinite(dists)] = -1
+        return ids, dists
+
+    def searcher(self):
+        """(fn, state) pair for jit-composition: the raw sharded search program."""
+        st = self._build_state()
+        return st
+
+
+def sharded_insert_round_fn(mesh, axis, cfg):
+    """The framework's data-parallel 'training step': one synchronized insertion
+    round per shard, batch sharded over the mesh. Subgraphs are independent, so the
+    step needs no cross-shard collectives — the ICI cost model is pure dp."""
+    from ..ops.insert_rounds import round_step
+
+    def local_round(vectors, sqnorms, levels, tables, batch_ids, entry):
+        out = round_step(vectors[0], sqnorms[0], levels[0],
+                         tuple((i[0], d[0]) for i, d in tables),
+                         batch_ids[0], entry[0], cfg=cfg)
+        return tuple((i[None], d[None]) for i, d in out)
+
+    nL = cfg.num_layers
+    sm = shard_map(local_round, mesh,
+                   in_specs=(P(axis), P(axis), P(axis),
+                             tuple((P(axis), P(axis)) for _ in range(nL)),
+                             P(axis), P(axis)),
+                   out_specs=tuple((P(axis), P(axis)) for _ in range(nL)))
+    return jax.jit(sm, donate_argnums=(3,))
+
+
+def _sharded_search_fn(mesh, axis, num_layers, layer_nonempty, cap1, entry_level,
+                       metric, ef, knbn):
+    """Build the jitted shard_map search program (cached per config)."""
+
+    @dataclasses.dataclass(frozen=True)
+    class _GA:  # minimal static-metadata shim reusing search_program's GraphArrays API
+        vectors: object
+        sqnorms: object
+        levels: object
+        layer_ids: object
+        layer_dists: object
+        entry: object
+        n: int
+        cap1: int
+        entry_level: int
+        layer_nonempty: tuple
+        metric_name: str
+        num_layers: int
+
+    def local_search(vectors, sqnorms, origin, layer_ids, entry, q):
+        # leading shard dim is 1 inside the shard_map body
+        g = _GA(vectors=vectors[0], sqnorms=sqnorms[0], levels=None,
+                layer_ids=tuple(t[0] for t in layer_ids), layer_dists=(),
+                entry=entry[0], n=cap1 - 1, cap1=cap1, entry_level=entry_level,
+                layer_nonempty=layer_nonempty, metric_name=metric,
+                num_layers=num_layers)
+        ids, dists = search_program(g, q, None, ef=ef, knbn=knbn,
+                                    expand=4, use_mask=False)
+        # local -> external ids before leaving the shard
+        ext = jnp.where(ids >= 0, origin[0][jnp.clip(ids, 0, cap1 - 1)], -1)
+        # merge across shards: all_gather over ICI, replicated sort-merge
+        all_ids = jax.lax.all_gather(ext, axis)  # [D, B, k]
+        all_d = jax.lax.all_gather(jnp.where(ids >= 0, dists, jnp.inf), axis)
+        D_, B_, k_ = all_ids.shape
+        flat_ids = jnp.transpose(all_ids, (1, 0, 2)).reshape(B_, D_ * k_)
+        flat_d = jnp.transpose(all_d, (1, 0, 2)).reshape(B_, D_ * k_)
+        order = jnp.argsort(flat_d, axis=1)[:, :knbn]
+        return (jnp.take_along_axis(flat_ids, order, 1),
+                jnp.take_along_axis(flat_d, order, 1))
+
+    sm = shard_map(local_search, mesh,
+                   in_specs=(P(axis), P(axis), P(axis),
+                             tuple(P(axis) for _ in range(num_layers)),
+                             P(axis), P()),
+                   out_specs=(P(), P()))
+    return jax.jit(sm)

@@ -1,0 +1,108 @@
+"""Native C++ core (ffi tier): build/search parity with the Python oracle, filters,
+custom distances, and the zero-copy handoff to the TPU-side Hnsw."""
+
+import shutil
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.skipif(shutil.which("g++") is None,
+                                reason="no C++ toolchain")
+
+
+@pytest.fixture(scope="module")
+def native():
+    from hnsw_tpu.ffi import NativeHnsw, native_lib
+    native_lib()
+    return NativeHnsw
+
+
+def _data(rng, n=2000, d=24):
+    # low intrinsic dimension so recall is meaningful
+    A = rng.standard_normal((8, d)).astype(np.float32)
+    return rng.standard_normal((n, 8)).astype(np.float32) @ A
+
+
+def test_native_build_and_recall(native, rng):
+    from hnsw_tpu.ops.distances import get_metric
+    X = _data(rng)
+    nh = native(max_nb_connection=16, max_elements=len(X), ef_construction=200)
+    nh.parallel_insert(X, np.arange(len(X)), n_threads=4)
+    assert len(nh) == len(X)
+    Q = _data(rng, n=40)
+    ids, dists = nh.parallel_search(Q, 10, 64)
+    truth = get_metric("L2").brute_force(Q, X)
+    hits = sum(int((dists[b][np.isfinite(dists[b])] <= np.sort(truth[b])[9] + 1e-6).sum())
+               for b in range(40))
+    assert hits / 400 >= 0.9, hits / 400
+
+
+def test_native_serial_insert_and_search(native, rng):
+    X = _data(rng, n=300)
+    nh = native(max_nb_connection=12, max_elements=300, ef_construction=100)
+    for i, v in enumerate(X):
+        nh.insert(v, i)
+    ids, dists = nh.search(X[7], 3, 32)
+    assert ids[0] == 7 and dists[0] == pytest.approx(0.0, abs=1e-5)
+
+
+def test_native_filter(native, rng):
+    X = _data(rng, n=400)
+    nh = native(max_nb_connection=12, max_elements=400, ef_construction=100)
+    nh.parallel_insert(X, np.arange(400), n_threads=2)
+    ids, _ = nh.search(X[10], 5, 200, filter_fn=lambda i: i % 3 == 0)
+    assert len(ids) >= 1 and all(i % 3 == 0 for i in ids)
+    ids, _ = nh.search(X[10], 5, 64, filter_fn=lambda i: False)
+    assert len(ids) == 0
+
+
+def test_native_custom_distance(native, rng):
+    X = np.abs(_data(rng, n=200)).astype(np.float32)
+    nh = native(max_nb_connection=8, max_elements=200, ef_construction=50,
+                dist_fn=lambda a, b: float(np.abs(a - b).sum()))
+    for i, v in enumerate(X):
+        nh.insert(v, i)
+    ids, dists = nh.search(X[3], 2, 16)
+    assert ids[0] == 3
+    assert dists[0] == pytest.approx(0.0, abs=1e-4)
+
+
+def test_native_to_hnsw_handoff(native, rng):
+    """Graphs built natively must serve the full framework: host search, device
+    batched search, dump/reload."""
+    from hnsw_tpu import HnswIo
+    X = _data(rng, n=1500)
+    nh = native(max_nb_connection=16, max_elements=1500, ef_construction=150)
+    nh.parallel_insert(X, np.arange(1500), n_threads=4)
+    h = nh.to_hnsw()
+    assert h.get_nb_point() == 1500
+    # host search
+    res = h.search(X[42], 1, 32)
+    assert res and res[0].d_id == 42
+    # device batched search
+    ids, dists = h.search_batch(X[:32], 1, 32)
+    hits = sum(1 for i in range(32) if h.get_origin_id(int(ids[i, 0])) == i)
+    assert hits >= 30
+    # persistence round trip
+    import tempfile
+    tmp = tempfile.mkdtemp()
+    base = h.file_dump(tmp, "native")
+    r = HnswIo(tmp, base).load_hnsw()
+    assert h.check_graph_equality(r)
+
+
+def test_native_distance_values_match(native, rng):
+    from hnsw_tpu.ops.distances import get_metric
+    X = np.abs(_data(rng, n=64)).astype(np.float32)
+    X = X / X.sum(-1, keepdims=True)
+    for name in ["L1", "L2", "Cosine", "Hamming", "Jaccard", "Hellinger",
+                 "Jeffreys", "JensenShannon"]:
+        nh = native(max_nb_connection=8, max_elements=64, ef_construction=32,
+                    dist=name)
+        for i, v in enumerate(X):
+            nh.insert(v, i)
+        ids, dists = nh.search(X[5], 3, 16)
+        m = get_metric(name)
+        for j, i in enumerate(ids):
+            want = m.pair(X[5], X[int(i)])
+            assert dists[j] == pytest.approx(want, rel=2e-3, abs=2e-3), name

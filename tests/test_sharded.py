@@ -1,0 +1,69 @@
+"""Multi-chip sharded execution on the virtual 8-device CPU mesh (SURVEY.md §4:
+'multi-node without a real cluster')."""
+
+import numpy as np
+import jax
+import pytest
+
+from hnsw_tpu.parallel.sharded import ShardedHnsw, default_mesh
+from hnsw_tpu.ops.distances import get_metric
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert jax.device_count() >= 8, "conftest should provide 8 virtual CPU devices"
+    return default_mesh(8)
+
+
+def test_sharded_recall_beats_single_graph_floor(rng, mesh8):
+    n, d, k = 4000, 16, 10
+    X = rng.random((n, d)).astype(np.float32)
+    sh = ShardedHnsw(mesh=mesh8, max_nb_connection=12, max_elements=n // 8 + 8,
+                     ef_construction=100, dist="L2")
+    sh.parallel_insert(list(zip(X, range(n))), mode="serial")
+    assert len(sh) == n
+    Q = rng.random((24, d)).astype(np.float32)
+    ids, dists = sh.search_batch(Q, k, 48)
+    assert ids.shape == (24, k)
+    truth = get_metric("L2").brute_force(Q, X)
+    hits = 0
+    for b in range(24):
+        kth = np.sort(truth[b])[k - 1]
+        hits += int((dists[b] <= kth + 1e-6).sum())
+    recall = hits / (24 * k)
+    assert recall >= 0.9, f"sharded recall {recall}"
+    # returned ids are external and distances correct
+    for b in range(4):
+        for j in range(k):
+            if ids[b, j] >= 0:
+                assert dists[b, j] == pytest.approx(truth[b, ids[b, j]], rel=1e-4,
+                                                    abs=1e-4)
+
+
+def test_sharded_self_retrieval(rng, mesh8):
+    n, d = 2000, 12
+    X = rng.random((n, d)).astype(np.float32)
+    sh = ShardedHnsw(mesh=mesh8, max_nb_connection=12, max_elements=n // 8 + 8,
+                     ef_construction=80, dist="L2")
+    sh.parallel_insert(list(zip(X, range(n))), mode="serial")
+    ids, _ = sh.search_batch(X[:64], 1, 24)
+    hits = sum(1 for i in range(64) if int(ids[i, 0]) == i)
+    assert hits >= 62
+
+
+def test_dryrun_multichip_entrypoint():
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from __graft_entry__ import dryrun_multichip
+    dryrun_multichip(8)
+
+
+def test_entry_compiles():
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from __graft_entry__ import entry
+    fn, args = entry()
+    out = jax.jit(fn)(*args)
+    ids, dists = (np.asarray(o) for o in out)
+    assert ids.shape == (8, 10)
+    assert np.isfinite(dists[:, 0]).all()
