@@ -42,10 +42,10 @@ def main():
 
     N = int(os.environ.get("BENCH_N", 200_000))
     d = int(os.environ.get("BENCH_D", 128))
-    M = int(os.environ.get("BENCH_M", 16))
-    efc = int(os.environ.get("BENCH_EFC", 200))
+    M = int(os.environ.get("BENCH_M", 24))
+    efc = int(os.environ.get("BENCH_EFC", 400))
     BB = int(os.environ.get("BENCH_BATCH", 1024))
-    QB = int(os.environ.get("BENCH_QBATCH", 1024))
+    QB = int(os.environ.get("BENCH_QBATCH", 4096))
     k = 10
     RECALL_FLOOR = float(os.environ.get("BENCH_RECALL", 0.98))
 
@@ -62,27 +62,34 @@ def main():
     Q = (rng.standard_normal((QB, ID)).astype(np.float32) @ A
          + 0.02 * rng.standard_normal((QB, d)).astype(np.float32))
 
-    # exact ground truth on device (chunked matmul)
-    log("[bench] computing ground truth ...")
-    Xd = jnp.asarray(X)
-    xsq = (Xd * Xd).sum(-1)
-    Qd = jnp.asarray(Q)
-    qsq = (Qd * Qd).sum(-1)
-
-    @jax.jit
-    def _truth(Qd, qsq):
-        d2 = qsq[:, None] - 2.0 * (Qd @ Xd.T) + xsq[None, :]
-        val, idx = jax.lax.top_k(-d2, k)
-        return jnp.sqrt(jnp.maximum(-val, 0.0)), idx
-
-    truth_d, truth_i = (np.array(a) for a in _truth(Qd, qsq))
-    kth = truth_d[:, k - 1]
+    # exact ground truth in float64 on host — the f32 norm-trick (q^2 - 2qx + x^2)
+    # loses ~1e-3 relative precision to cancellation, enough to mis-rank near-ties
+    # and deflate measured recall by several points
+    log("[bench] computing ground truth (fp64) ...")
+    X64 = X.astype(np.float64)
+    xsq64 = (X64 * X64).sum(-1)
+    kth = np.empty(QB, np.float64)
+    for s in range(0, QB, 128):
+        q64 = Q[s:s + 128].astype(np.float64)
+        d2 = (q64 * q64).sum(-1)[:, None] - 2.0 * (q64 @ X64.T) + xsq64[None, :]
+        part = np.partition(d2, k - 1, axis=1)[:, k - 1]
+        kth[s:s + 128] = np.sqrt(np.maximum(part, 0.0))
 
     # build
     log(f"[bench] building index: N={N} d={d} M={M} efC={efc} batch={BB}")
-    h = Hnsw(max_nb_connection=M, max_elements=N, ef_construction=efc, dist="L2")
+    backend = os.environ.get("BENCH_BUILD", "device")
     t0 = time.time()
-    h.parallel_insert(list(zip(X, range(N))), mode="device", batch_size=BB)
+    if backend == "native":
+        from hnsw_tpu.ffi import NativeHnsw
+        nh = NativeHnsw(max_nb_connection=M, max_elements=N, ef_construction=efc,
+                        dist="L2")
+        nh.set_keeping_pruned(True)
+        nh.parallel_insert(X, np.arange(N))
+        h = nh.to_hnsw()
+    else:
+        h = Hnsw(max_nb_connection=M, max_elements=N, ef_construction=efc, dist="L2")
+        h.set_keeping_pruned(True)
+        h.parallel_insert(list(zip(X, range(N))), mode="device", batch_size=BB)
     build_s = time.time() - t0
     log(f"[bench] build done in {build_s:.1f}s ({N / build_s:.0f} pts/s)")
 

@@ -7,18 +7,24 @@ per Malkov & Yashunin 2016/2018). The reference's prelude re-exports (reference
 
 from .models.hnsw import Hnsw, Neighbour, NB_LAYER_MAX
 from .models.flatten import FlatPoint, FlatNeighborhood
+from .models.brute import BruteForceIndex
 from .ops.distances import DISTANCES, Metric, UserMetric, get_metric, l2_normalize
 from .filter import FilterT, SortedIdFilter, CallableFilter
 from .api import AnnT
-from .io.hnswio import HnswIo, ReloadOptions, Description, load_description, file_dump
+from .io.hnswio import (HnswIo, ReloadOptions, Description, load_description,
+                        file_dump, save_native, load_native)
 from .io.datamap import DataMap
+from .ffi import NativeHnsw  # binds lazily; the .so builds on first instantiation
+from .parallel.sharded import ShardedHnsw
+from .utils.logging import init_logging
 
 __version__ = "0.1.0"
 
 __all__ = [
     "Hnsw", "Neighbour", "NB_LAYER_MAX", "FlatPoint", "FlatNeighborhood",
+    "BruteForceIndex", "NativeHnsw", "ShardedHnsw",
     "DISTANCES", "Metric", "UserMetric", "get_metric", "l2_normalize",
     "FilterT", "SortedIdFilter", "CallableFilter", "AnnT",
     "HnswIo", "ReloadOptions", "Description", "load_description", "file_dump",
-    "DataMap",
+    "save_native", "load_native", "DataMap", "init_logging",
 ]

@@ -34,10 +34,16 @@ def _build_so() -> str:
     if (os.path.exists(_SO)
             and os.path.getmtime(_SO) >= os.path.getmtime(_SRC)):
         return _SO
-    cmd = ["g++", "-O3", "-march=native", "-ffast-math", "-funroll-loops", "-DNDEBUG", "-std=c++17", "-shared", "-fPIC",
-           "-pthread", "-o", _SO, _SRC]
-    log.info("building native core: %s", " ".join(cmd))
-    subprocess.run(cmd, check=True, capture_output=True)
+    # compile with fast-math but LINK without it: -ffast-math at link time pulls in
+    # crtfastmath.o, which flips FTZ/DAZ process-wide at dlopen and silently changes
+    # subnormal behavior for the host numpy/jax process.
+    obj = _SO + ".o"
+    subprocess.run(["g++", "-c", "-O3", "-march=native", "-ffast-math",
+                    "-funroll-loops", "-DNDEBUG", "-std=c++17", "-fPIC",
+                    "-o", obj, _SRC], check=True, capture_output=True)
+    subprocess.run(["g++", "-shared", "-pthread", "-o", _SO, obj],
+                   check=True, capture_output=True)
+    os.remove(obj)
     return _SO
 
 

@@ -67,21 +67,34 @@ def scores_gathered(metric_name: str, q: jax.Array, cvecs: jax.Array,
 
 
 def _merge_beam(beam_ids, beam_d, beam_exp, new_ids, new_d, ef: int):
-    """(beam ∪ candidates) -> best ef, carrying expanded flags through the sort."""
+    """(beam ∪ candidates) -> best ef, carrying expanded flags through the merge.
+    Uses ``lax.top_k`` (O(n log k) selection) rather than a full argsort — the merge
+    runs every beam iteration and dominates the query step's critical path."""
     cat_ids = jnp.concatenate([beam_ids, new_ids], axis=1)
     cat_d = jnp.concatenate([beam_d, new_d], axis=1)
-    if beam_exp is not None:
-        cat_exp = jnp.concatenate([beam_exp, jnp.zeros_like(new_ids, dtype=jnp.uint8)], axis=1)
-    order = jnp.argsort(cat_d, axis=1)[:, :ef]
+    neg, order = lax.top_k(-cat_d, ef)
     take = lambda a: jnp.take_along_axis(a, order, axis=1)
-    return (take(cat_ids), take(cat_d), take(cat_exp) if beam_exp is not None else None)
+    if beam_exp is not None:
+        cat_exp = jnp.concatenate([beam_exp, jnp.zeros_like(new_ids, dtype=jnp.uint8)],
+                                  axis=1)
+        return take(cat_ids), -neg, take(cat_exp)
+    return take(cat_ids), -neg, None
 
 
 def beam_search_layer(metric_name: str, vectors, sqnorms, tbl_ids, q, start_ids,
                       start_dists, *, ef: int, expand: int = 4,
-                      mask=None, active=None, max_iters: Optional[int] = None,
-                      visited_init=None):
-    """Beam search within one layer for a batch of queries.
+                      mask=None, active=None, max_iters: Optional[int] = None):
+    """Beam search within one layer for a batch of queries — SCATTER-FREE.
+
+    The reference's per-query visited HashMap (``src/hnsw.rs:956-958``) has no cheap
+    array analog: XLA scatter serializes on TPU (~500µs per [B,K] update, 7-10x the
+    cost of every other op in the loop). Instead, revisits are suppressed by pure
+    comparisons against (a) the current beam, (b) an expansion-history ring buffer
+    ``hist [B,H]`` appended with ``dynamic_update_slice``, and (c) an intra-step
+    duplicate mask. A node expanded and later aged out of the ring could be
+    re-expanded (wasting an iteration, bounded by ``max_iters``); a node admitted
+    then evicted can be re-scored — neither affects which distances are reachable,
+    so recall semantics match the reference's visited-set up to extra work.
 
     Args:
       vectors: [cap1, d] — row cap1-1 is the reserved sink row.
@@ -100,7 +113,8 @@ def beam_search_layer(metric_name: str, vectors, sqnorms, tbl_ids, q, start_ids,
     K = E * M
     if max_iters is None:
         max_iters = max(16, (4 * ef) // E + 32)
-    rows = jnp.arange(B, dtype=jnp.int32)[:, None]
+    n_slots = min(int(max_iters), (2 * ef) // E + 16)
+    H = E * max(n_slots, 1)
 
     if active is None:
         active = jnp.ones((B,), dtype=bool)
@@ -115,16 +129,18 @@ def beam_search_layer(metric_name: str, vectors, sqnorms, tbl_ids, q, start_ids,
         res_d = jnp.full((B, ef), INF).at[:, 0].set(jnp.where(start_pass, start_dists, INF))
     else:
         res_ids = res_d = None
-    visited = visited_init if visited_init is not None else jnp.zeros((B, cap1), jnp.uint8)
-    visited = visited.at[rows[:, 0], jnp.clip(start_ids, 0, cap1 - 1)].set(1)
+    hist = jnp.full((B, H), -2, jnp.int32)  # -2: never matches a real id or -1 pad
     done = ~start_ok
+    rows = jnp.arange(B, dtype=jnp.int32)[:, None]
+    tri = (jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
+           < jax.lax.broadcasted_iota(jnp.int32, (K, K), 0))  # tri[k, j] = j < k
 
     def cond(state):
         it, done, *_ = state
         return (it < max_iters) & ~jnp.all(done)
 
     def body(state):
-        it, done, beam_ids, beam_d, beam_exp, res_ids, res_d, visited = state
+        it, done, beam_ids, beam_d, beam_exp, res_ids, res_d, hist = state
         # 1. pick the E nearest unexpanded beam entries per query
         cand_d = jnp.where((beam_exp > 0) | (beam_ids < 0), INF, beam_d)
         neg_sel, pos = lax.top_k(-cand_d, E)  # [B,E]
@@ -133,22 +149,22 @@ def beam_search_layer(metric_name: str, vectors, sqnorms, tbl_ids, q, start_ids,
         worst = beam_d[:, ef - 1]
         step_done = done | (nearest_d == INF) | (nearest_d > worst)
         act = ~step_done
-        # 2. mark them expanded & gather their neighbor rows
-        beam_exp = beam_exp.at[rows, pos].max((act[:, None] & (sel_d < INF)).astype(jnp.uint8))
+        # 2. mark them expanded, log them in the history ring, gather their rows
+        sel_ok = act[:, None] & (sel_d < INF)
+        beam_exp = beam_exp.at[rows, pos].max(sel_ok.astype(jnp.uint8))
         src = jnp.take_along_axis(beam_ids, pos, axis=1)  # [B,E]
+        hist = lax.dynamic_update_slice(
+            hist, jnp.where(sel_ok, src, -2), (jnp.int32(0), (it % n_slots) * E))
         src_c = jnp.clip(src, 0, cap1 - 1)
         nbr = tbl_ids[src_c].reshape(B, K)
-        e_valid = jnp.repeat(act[:, None] & (sel_d < INF), M, axis=1)  # [B,K]
-        valid = e_valid & (nbr >= 0)
-        nbr_c = jnp.where(valid, nbr, cap1 - 1)
-        # 3. visited suppression, chunk-by-chunk so intra-step duplicates dedup too
-        for e in range(E):
-            sl = slice(e * M, (e + 1) * M)
-            ids_e = nbr_c[:, sl]
-            seen = visited[rows, ids_e] > 0
-            v_e = valid[:, sl] & ~seen
-            valid = valid.at[:, sl].set(v_e)
-            visited = visited.at[rows, jnp.where(v_e, ids_e, cap1 - 1)].set(1)
+        valid = jnp.repeat(sel_ok, M, axis=1) & (nbr >= 0)
+        # 3. revisit suppression by comparison (no scatter):
+        #    beam membership, history membership, intra-step duplicates
+        in_beam = (nbr[:, :, None] == beam_ids[:, None, :]).any(-1)
+        in_hist = (nbr[:, :, None] == hist[:, None, :]).any(-1)
+        eq = (nbr[:, :, None] == nbr[:, None, :]) & valid[:, None, :]
+        dup = (eq & tri[None]).any(-1)
+        valid = valid & ~in_beam & ~in_hist & ~dup
         nbr_c = jnp.where(valid, nbr, cap1 - 1)
         # 4. score candidates
         cvecs = vectors[nbr_c]  # [B,K,d]
@@ -163,9 +179,9 @@ def beam_search_layer(metric_name: str, vectors, sqnorms, tbl_ids, q, start_ids,
                                         jnp.where(passf, nbr, -1), jnp.where(passf, sc, INF), ef)
         else:
             r_ids, r_d = res_ids, res_d
-        return (it + 1, step_done, beam_ids, beam_d, beam_exp, r_ids, r_d, visited)
+        return (it + 1, step_done, beam_ids, beam_d, beam_exp, r_ids, r_d, hist)
 
-    state = (jnp.int32(0), done, beam_ids, beam_d, beam_exp, res_ids, res_d, visited)
+    state = (jnp.int32(0), done, beam_ids, beam_d, beam_exp, res_ids, res_d, hist)
     state = lax.while_loop(cond, body, state)
     _, _, beam_ids, beam_d, _, res_ids, res_d, _ = state
     if use_mask:

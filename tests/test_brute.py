@@ -1,0 +1,63 @@
+"""Exact brute-force path: BruteForceIndex and the Pallas fused top-k kernel
+(interpreted on CPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from hnsw_tpu.models.brute import BruteForceIndex
+from hnsw_tpu.ops.distances import get_metric
+
+
+def test_brute_force_exact(rng):
+    n, d, k = 500, 16, 5
+    X = rng.standard_normal((n, d)).astype(np.float32)
+    bf = BruteForceIndex(dist="L2")
+    bf.parallel_insert(list(zip(X, range(n))))
+    Q = rng.standard_normal((8, d)).astype(np.float32)
+    ids, dists = bf.search_batch(Q, k)
+    truth = get_metric("L2").brute_force(Q, X)
+    for b in range(8):
+        want = np.argsort(truth[b], kind="stable")[:k]
+        assert set(ids[b].tolist()) == set(want.tolist())
+        np.testing.assert_allclose(dists[b], np.sort(truth[b])[:k], rtol=1e-4)
+
+
+def test_brute_force_filter_and_single(rng):
+    n, d = 200, 8
+    X = rng.random((n, d)).astype(np.float32)
+    bf = BruteForceIndex()
+    for i in range(n):
+        bf.insert(X[i], i)
+    res = bf.search(X[5], 3)
+    assert res[0].d_id == 5
+    ids, _ = bf.search_batch(X[:4], 5, filter=sorted(range(0, n, 2)))
+    assert all(int(i) % 2 == 0 for row in ids for i in row if i >= 0)
+    # knbn > n
+    small = BruteForceIndex()
+    small.insert(np.ones(4, np.float32), 0)
+    ids, d = small.search_batch(np.ones((2, 4), np.float32), 5)
+    assert (ids[:, 0] == 0).all() and (ids[:, 1:] == -1).all()
+
+
+def test_pallas_topk_interpret(rng):
+    from hnsw_tpu.ops.pallas_topk import pallas_l2_topk, pad_corpus
+    n, d, B, k = 300, 32, 8, 10
+    X = rng.standard_normal((n, d)).astype(np.float32)
+    Q = rng.standard_normal((B, d)).astype(np.float32)
+    Xp, xsq = pad_corpus(X, tn=256)
+    dd, ids = pallas_l2_topk(jnp.asarray(Q), jnp.asarray(Xp), jnp.asarray(xsq),
+                             k, tn=256, group=8, interpret=True)
+    dd, ids = np.array(dd), np.array(ids)
+    truth = get_metric("L2").brute_force(Q, X)
+    hits = 0
+    for b in range(B):
+        want = set(np.argsort(truth[b], kind="stable")[:k].tolist())
+        got = set(int(i) for i in ids[b])
+        hits += len(got & want)
+        # returned distances must be the true distances of the returned ids
+        for j in range(k):
+            assert dd[b, j] == pytest.approx(truth[b, ids[b, j]], rel=1e-3, abs=1e-3)
+    # group-reduce may miss a true neighbor when >=3 land in one group; with
+    # group=8 on this scale the hit rate should still be ~1
+    assert hits >= B * k - 2, hits
