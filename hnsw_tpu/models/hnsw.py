@@ -544,11 +544,21 @@ class Hnsw:
 
     # ------------------------------------------------------------- device graph -----
 
+    def set_device_dtype(self, dtype):
+        """Vector dtype of the device search path: float32 (default) or bfloat16
+        (half the HBM gather bytes; inner products keep f32 accumulation — costs a
+        fraction of a recall point on near-ties)."""
+        import jax.numpy as jnp
+        self._device_dtype = jnp.dtype(dtype)
+        self._device_cache = None
+
     def device_graph(self):
         """The dense arrays as device-resident jax arrays (cached per version)."""
         from ..ops.graph_arrays import GraphArrays
+        dt = getattr(self, "_device_dtype", None)
         if self._device_cache is None or self._device_cache.version != self._version:
-            self._device_cache = GraphArrays.from_host(self)
+            kw = {"device_dtype": dt} if dt is not None else {}
+            self._device_cache = GraphArrays.from_host(self, **kw)
         return self._device_cache
 
     # --------------------------------------------------------------- persistence ----

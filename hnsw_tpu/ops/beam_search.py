@@ -10,7 +10,8 @@ with heaps and a visited HashMap, a *batch* of queries advances in lock-step:
     2. their neighbor rows are gathered from the dense layer table           (HBM)
     3. candidate vectors are gathered and scored against the query           (VPU/MXU)
     4. beam ∪ candidates is re-sorted and truncated to ``ef``                (VPU)
-    5. a per-query visited bitmap (int8 row per query) suppresses revisits
+    5. revisits are suppressed scatter-free (beam membership + expansion-history
+       ring + intra-step dup masks — see beam_search_layer)
 
 Termination matches the reference's early-exit rule (nearest unexpanded candidate
 farther than the worst kept result once the beam is full, ``src/hnsw.rs:981-1002``),
@@ -48,16 +49,22 @@ def scores_gathered(metric_name: str, q: jax.Array, cvecs: jax.Array,
     from .distances import get_metric
 
     qf = q.astype(jnp.float32)
-    cf = cvecs.astype(jnp.float32)
+    low = cvecs.dtype == jnp.bfloat16  # bf16 vector store: half the gather bytes,
+    # inner products on the MXU with f32 accumulation
+    _ip = (lambda a, b: jnp.einsum("bd,bkd->bk", a.astype(jnp.bfloat16), b,
+                                   preferred_element_type=jnp.float32)) if low else \
+          (lambda a, b: jnp.einsum("bd,bkd->bk", a.astype(jnp.float32),
+                                   b.astype(jnp.float32)))
     if metric_name in ("L2", "DistL2"):
-        g = jnp.einsum("bd,bkd->bk", qf, cf)
+        g = _ip(q, cvecs)
         sq = (qf * qf).sum(-1)[:, None]
-        cs = csq if csq is not None else (cf * cf).sum(-1)
+        cs = csq if csq is not None else (cvecs.astype(jnp.float32) ** 2).sum(-1)
         return jnp.sqrt(jnp.maximum(sq - 2.0 * g + cs, 0.0))
     if metric_name in ("Dot", "DistDot"):
-        return 1.0 - jnp.einsum("bd,bkd->bk", qf, cf)
+        return 1.0 - _ip(q, cvecs)
     if metric_name in ("Cosine", "DistCosine"):
-        s = jnp.einsum("bd,bkd->bk", qf, cf)
+        s = _ip(q, cvecs)
+        cf = cvecs.astype(jnp.float32)
         denom = jnp.linalg.norm(qf, axis=-1)[:, None] * jnp.linalg.norm(cf, axis=-1)
         return 1.0 - jnp.where(denom > 0, s / jnp.maximum(denom, 1e-10), 0.0)
     m = get_metric(metric_name)
@@ -69,7 +76,9 @@ def scores_gathered(metric_name: str, q: jax.Array, cvecs: jax.Array,
 def _merge_beam(beam_ids, beam_d, beam_exp, new_ids, new_d, ef: int):
     """(beam ∪ candidates) -> best ef, carrying expanded flags through the merge.
     Uses ``lax.top_k`` (O(n log k) selection) rather than a full argsort — the merge
-    runs every beam iteration and dominates the query step's critical path."""
+    runs every beam iteration and dominates the query step's critical path. (A
+    lossless two-stage pre-reduction of wide candidate sets was measured slower on
+    v5e — one wide top_k wins.)"""
     cat_ids = jnp.concatenate([beam_ids, new_ids], axis=1)
     cat_d = jnp.concatenate([beam_d, new_d], axis=1)
     neg, order = lax.top_k(-cat_d, ef)
@@ -262,7 +271,8 @@ def greedy_min_descent(metric_name, vectors, sqnorms, layer_ids, q, pivot, pivot
 
 # --------------------------------------------------------------- top-level search ----
 
-def search_program(g, q, mask, *, ef: int, knbn: int, expand: int, use_mask: bool):
+def search_program(g, q, mask, *, ef: int, knbn: int, expand: int, use_mask: bool,
+                   max_iters=None):
     """Full production search: greedy descent then beam search at the lowest
     non-empty layer — reference ``search_filter`` (``src/hnsw.rs:1487-1599``)."""
     B = q.shape[0]
@@ -277,17 +287,18 @@ def search_program(g, q, mask, *, ef: int, knbn: int, expand: int, use_mask: boo
     ids, dists = beam_search_layer(
         g.metric_name, g.vectors, g.sqnorms,
         g.layer_ids[layer0] if layer0 < g.num_layers else jnp.full((g.cap1, 1), -1, jnp.int32),
-        q, pivot, d0, ef=max(ef, knbn), expand=expand,
+        q, pivot, d0, ef=max(ef, knbn), expand=expand, max_iters=max_iters,
         mask=mask if use_mask else None)
     return ids[:, :knbn], dists[:, :knbn]
 
 
 _search_program = jax.jit(search_program,
-                          static_argnames=("ef", "knbn", "expand", "use_mask"))
+                          static_argnames=("ef", "knbn", "expand", "use_mask",
+                                           "max_iters"))
 
 
 def device_search_batch(hnsw, queries: np.ndarray, knbn: int, ef: int, filter=None,
-                        expand: int = 4):
+                        expand: int = 4, max_iters=None):
     """Host wrapper: snapshot graph to device (cached), build the filter mask, run the
     jitted program, return numpy (internal ids [B,knbn] -1-padded, dists)."""
     if hnsw._nb_point == 0:
@@ -308,7 +319,8 @@ def device_search_batch(hnsw, queries: np.ndarray, knbn: int, ef: int, filter=No
     else:
         mask = jnp.zeros((g.cap1,), bool)  # placeholder, unused
     ids, dists = _search_program(g, jnp.asarray(q), mask, ef=int(ef), knbn=int(knbn),
-                                 expand=int(expand), use_mask=filter is not None)
+                                 expand=int(expand), use_mask=filter is not None,
+                                 max_iters=max_iters)
     ids = np.array(ids[:B])
     dists = np.array(dists[:B])
     ids[~np.isfinite(dists)] = -1

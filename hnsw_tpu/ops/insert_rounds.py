@@ -64,6 +64,11 @@ class RoundConfig:
     max_obs: int  # entry level at round start
     nonempty: tuple  # per-layer: did the layer contain points at round start
     keep_pruned: bool
+    # upper-layer work runs on the first B1 rows only — the host sorts each round's
+    # batch by level descending, so points with level >= 1 (an ~1/ln(M) fraction)
+    # occupy a small static prefix instead of dragging full-width beams through
+    # every upper layer. B1 == 0 skips upper construction entirely.
+    B1: int = 0
 
 
 # ----------------------------------------------------------- neighbor selection ------
@@ -237,49 +242,74 @@ def round_step(vectors, sqnorms, levels, tables, batch_ids, entry, *, cfg: Round
         ids_t[layer] = ids_t[layer].at[tgt, 0].set(jnp.where(a, p, -1))
         d_t[layer] = d_t[layer].at[tgt, 0].set(jnp.where(a, dd, jnp.inf))
 
-    # 2-4. construction loop, layers high..0
-    sel_per_layer = [None] * L
-    for l in range(L - 1, -1, -1):
-        if not cfg.nonempty[l]:
+    # 2-4. construction loop, layers high..0. Upper layers (l >= 1) run on the sorted
+    # B1-prefix (all level>=1 points of the round); layer 0 runs on the full batch.
+    B1 = cfg.B1
+    sel_upper = [None] * L  # per upper layer: ([B1,w] ids, dists, act)
+    for l in range(L - 1, 0, -1):
+        if not cfg.nonempty[l] or B1 == 0:
             continue
-        act_l = alive & (lv >= l)
-        cand_ids, cand_d = beam_search_layer(metric, vectors, sqnorms, ids_t[l], q,
-                                             pivot, d0, ef=cfg.efc, expand=cfg.expand,
+        act_l = alive[:B1] & (lv[:B1] >= l)
+        cand_ids, cand_d = beam_search_layer(metric, vectors, sqnorms, ids_t[l],
+                                             q[:B1], pivot[:B1], d0[:B1],
+                                             ef=cfg.efc, expand=cfg.expand,
                                              active=act_l)
-        nb_conn = cfg.widths[l]  # 2M at layer 0 else M (reference src/hnsw.rs:1177-1182)
+        nb_conn = cfg.widths[l]
         sel_ids, sel_d = select_neighbours_batched(metric, vectors, sqnorms, cand_ids,
                                                    cand_d, nb_conn, cfg.keep_pruned)
-        tgt = jnp.where(act_l, batch_ids, sink)
+        tgt = jnp.where(act_l, batch_ids[:B1], sink)
         ids_t[l] = ids_t[l].at[tgt].set(jnp.where(act_l[:, None], sel_ids, -1))
         d_t[l] = d_t[l].at[tgt].set(jnp.where(act_l[:, None], sel_d, jnp.inf))
-        sel_per_layer[l] = (sel_ids, sel_d, act_l)
+        sel_upper[l] = (sel_ids, sel_d, act_l)
         has = act_l & jnp.isfinite(sel_d[:, 0])
-        pivot = jnp.where(has, sel_ids[:, 0], pivot)
-        d0 = jnp.where(has, sel_d[:, 0], d0)
+        pivot = jnp.concatenate([jnp.where(has, sel_ids[:, 0], pivot[:B1]), pivot[B1:]])
+        d0 = jnp.concatenate([jnp.where(has, sel_d[:, 0], d0[:B1]), d0[B1:]])
+    sel0 = None
+    if cfg.nonempty[0]:
+        act0 = alive
+        cand_ids, cand_d = beam_search_layer(metric, vectors, sqnorms, ids_t[0], q,
+                                             pivot, d0, ef=cfg.efc, expand=cfg.expand,
+                                             active=act0)
+        nb_conn = cfg.widths[0]  # 2M at layer 0 (reference src/hnsw.rs:1177-1182)
+        sel_ids, sel_d = select_neighbours_batched(metric, vectors, sqnorms, cand_ids,
+                                                   cand_d, nb_conn, cfg.keep_pruned)
+        tgt = jnp.where(act0, batch_ids, sink)
+        ids_t[0] = ids_t[0].at[tgt].set(jnp.where(act0[:, None], sel_ids, -1))
+        d_t[0] = d_t[0].at[tgt].set(jnp.where(act0[:, None], sel_d, jnp.inf))
+        sel0 = (sel_ids, sel_d, act0)
 
-    # 5. reverse-link merge, grouped by target layer l_n = new point's level
-    parts_q, parts_d, parts_v = [], [], []
-    for l in range(L):
-        if sel_per_layer[l] is None:
-            continue
-        sids, sd, act_l = sel_per_layer[l]
-        parts_q.append(sids)
-        parts_d.append(sd)
-        parts_v.append((sids >= 0) & act_l[:, None])
-    if parts_q:
-        eq = jnp.concatenate(parts_q, axis=1)  # [B, TOT]
-        edd = jnp.concatenate(parts_d, axis=1)
-        ev = jnp.concatenate(parts_v, axis=1)
-        esrc = jnp.broadcast_to(batch_ids[:, None], eq.shape)
-        elv = jnp.broadcast_to(lv[:, None], eq.shape)
-        eq, edd, ev, esrc, elv = (x.reshape(-1) for x in (eq, edd, ev, esrc, elv))
-        # no self-links (reference src/hnsw.rs:1252) — cannot occur since searches
-        # never see round-mates, but guard anyway
-        ev = ev & (eq != esrc)
-        for l_n in range(L):
-            v_ln = ev & (elv == l_n)
-            ids_t[l_n], d_t[l_n] = _reverse_merge(ids_t[l_n], d_t[l_n], eq, esrc, edd,
-                                                  v_ln, cfg.widths[l_n])
+    # 5. reverse-link merge, grouped by target layer l_n = new point's level.
+    # Sources with level 0 only contribute their layer-0 row (merged into layer 0);
+    # level>=1 sources (all inside the B1 prefix) contribute rows from every layer
+    # they were constructed at, merged into their own level's table.
+    if sel0 is not None:
+        sids, sd, act0 = sel0
+        ev0 = (sids >= 0) & act0[:, None] & (lv == 0)[:, None]
+        eq0 = sids.reshape(-1)
+        ed0 = sd.reshape(-1)
+        es0 = jnp.broadcast_to(batch_ids[:, None], sids.shape).reshape(-1)
+        v0 = (ev0.reshape(-1)) & (eq0 != es0)
+        ids_t[0], d_t[0] = _reverse_merge(ids_t[0], d_t[0], eq0, es0, ed0, v0,
+                                          cfg.widths[0])
+    if B1 > 0:
+        parts = []
+        if sel0 is not None:
+            sids, sd, _ = sel0
+            parts.append((sids[:B1], sd[:B1]))
+        for l in range(1, L):
+            if sel_upper[l] is not None:
+                parts.append((sel_upper[l][0], sel_upper[l][1]))
+        if parts:
+            eq = jnp.concatenate([p[0] for p in parts], axis=1)  # [B1, TOT]
+            edd = jnp.concatenate([p[1] for p in parts], axis=1)
+            esrc = jnp.broadcast_to(batch_ids[:B1, None], eq.shape)
+            elv = jnp.broadcast_to(lv[:B1, None], eq.shape)
+            eq, edd, esrc, elv = (x.reshape(-1) for x in (eq, edd, esrc, elv))
+            ev = (eq >= 0) & (eq != esrc)
+            for l_n in range(1, L):
+                v_ln = ev & (elv == l_n)
+                ids_t[l_n], d_t[l_n] = _reverse_merge(ids_t[l_n], d_t[l_n], eq, esrc,
+                                                      edd, v_ln, cfg.widths[l_n])
     return tuple((i, d) for i, d in zip(ids_t, d_t))
 
 
@@ -289,7 +319,7 @@ _round_step = partial(jax.jit, static_argnames=("cfg",), donate_argnums=(3,))(ro
 # ------------------------------------------------------------------ host driver ------
 
 def device_parallel_insert(hnsw, pairs, batch_size: Optional[int] = None,
-                           expand: int = 4):
+                           expand: int = 8):
     """Build/extend an index with synchronized device rounds. Mutates ``hnsw`` in
     place (host arrays are refreshed from the device tables at the end)."""
     if not pairs:
@@ -351,18 +381,22 @@ def device_parallel_insert(hnsw, pairs, batch_size: Optional[int] = None,
         Br = int(min(B, _next_pow2(max(8, s))))
         e = min(s + Br, n_total)
         bidx = np.full(Br, cap1 - 1, np.int32)  # pad -> sink (level -1, inactive)
-        bidx[: e - s] = np.arange(s, e, dtype=np.int32)
+        round_levels = hnsw._level[s:e]
+        # sort the round by level descending: level>=1 points form the static B1
+        # prefix that upper-layer construction operates on
+        order = np.argsort(-round_levels, kind="stable")
+        bidx[: e - s] = np.arange(s, e, dtype=np.int32)[order]
+        n_hi = int((round_levels >= 1).sum())
+        B1 = 0 if n_hi == 0 else int(min(Br, _next_pow2(max(8, n_hi))))
         cfg = RoundConfig(B=Br, cap1=cap1, num_layers=L, widths=widths,
                           efc=hnsw.ef_construction, M=hnsw.max_nb_connection,
                           metric=metric, expand=int(expand), max_obs=entry_level,
                           nonempty=tuple(bool(c > 0) for c in counts),
-                          keep_pruned=bool(hnsw.keep_pruned))
+                          keep_pruned=bool(hnsw.keep_pruned), B1=B1)
         tables = _round_step(vectors, sqnorms, levels_j, tables, jnp.asarray(bidx),
                              jnp.int32(entry), cfg=cfg)
         # post-round: update counts and promote entry (reference check_entry_point)
-        round_levels = hnsw._level[s:e]
-        for lvl in round_levels:
-            counts[lvl] += 1
+        counts[: ] += np.bincount(round_levels, minlength=L)[:L]
         mx = int(round_levels.max(initial=-1))
         if mx > entry_level:
             entry = int(s + int(np.argmax(round_levels == mx)))
