@@ -4,13 +4,14 @@ Mirrors the reference's headline methodology (ann-benchmarks style: build, sweep
 ef_search, report QPS at a recall floor — reference ``examples/ann-sift1m-128-euclidean.rs``,
 ``README.md:115-122``; baseline numbers in BASELINE.md). Runs on the real TPU chip.
 
-Dataset is synthetic (zero-egress container): uniform [0,1)^d vectors, the same
-regime as the reference's ``random.rs`` config, at SIFT dimensionality. Ground truth
-is exact brute force computed on-device.
+Dataset is synthetic (zero-egress container): low-intrinsic-dimension gaussians at
+SIFT dimensionality (the regime of the reference's benchmark datasets). Ground truth
+is exact brute force in float64 on host.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Environment knobs: BENCH_N (default 200000), BENCH_D (128), BENCH_M (16),
-BENCH_EFC (200), BENCH_BATCH (1024 build batch), BENCH_QBATCH (1024 query batch).
+Environment knobs: BENCH_N (default 200000), BENCH_D (128), BENCH_M (24),
+BENCH_EFC (200), BENCH_BATCH (1024 build batch), BENCH_QBATCH (4096 query batch),
+BENCH_BUILD (device|native), BENCH_INTRINSIC (16), BENCH_RECALL (0.98).
 """
 
 import json
@@ -79,19 +80,33 @@ def main():
     log(f"[bench] building index: N={N} d={d} M={M} efC={efc} batch={BB}")
     # ---- exact path: Pallas fused brute-force scan (recall 1.0 by construction) ----
     from hnsw_tpu.ops.pallas_topk import pallas_l2_topk, pad_corpus
-    Xp, xsqp = pad_corpus(X)
+    Xp, xsqp = pad_corpus(X, tn=2048)
     Xpd, xsqd = jnp.asarray(Xp), jnp.asarray(xsqp)
     QB_BF = 512
     Qbf = jnp.asarray(Q[:QB_BF])
-    dd_bf, ids_bf = pallas_l2_topk(Qbf, Xpd, xsqd, k)
-    jax.block_until_ready(ids_bf)
+    dd_bf, ids_bf = pallas_l2_topk(Qbf, Xpd, xsqd, k, tn=2048, group=16)
+    np.array(ids_bf)
     t0 = time.time()
     reps = 10
     for _ in range(reps):
-        dd_bf, ids_bf = pallas_l2_topk(Qbf, Xpd, xsqd, k)
-    jax.block_until_ready(ids_bf)
+        dd_bf, ids_bf = pallas_l2_topk(Qbf, Xpd, xsqd, k, tn=2048, group=16)
+        np.array(ids_bf)  # axon's block_until_ready is a no-op; a fetch forces completion
     bf_qps = reps * QB_BF / (time.time() - t0)
-    bf_recall = float((np.array(dd_bf) <= kth[:QB_BF, None] + 1e-5).sum() / (QB_BF * k))
+
+    def recall_fp64(origin_ids, nq):
+        """Score recall by recomputing returned candidates' distances in fp64 —
+        engine-reported f32 distances carry ~1e-3 cancellation error, enough to
+        mis-score near-ties against the fp64 kth threshold."""
+        ok = origin_ids >= 0
+        safe = np.clip(origin_ids, 0, N - 1)
+        hits = 0
+        for b in range(nq):
+            dv = X64[safe[b]] - Q[b].astype(np.float64)
+            d64 = np.sqrt((dv * dv).sum(-1))
+            hits += int((ok[b] & (d64 <= kth[b] + 1e-9)).sum())
+        return hits / (nq * k)
+
+    bf_recall = recall_fp64(np.array(ids_bf), QB_BF)
     log(f"[bench] pallas exact scan: {bf_qps:.0f} QPS, recall {bf_recall:.4f}")
     del Xpd, xsqd
 
@@ -115,14 +130,15 @@ def main():
         ids, dists = h.search_batch(Q, k, ef)
         return ids, dists
 
-    def recall_of(dists):
-        return float((dists <= kth[:, None] + 1e-6).sum() / (QB * k))
+    def recall_of(ids):
+        oid = np.where(ids >= 0, h._origin[np.clip(ids, 0, h._nb_point - 1)], -1)
+        return recall_fp64(oid, QB)
 
     # ef sweep to hit the recall floor
     chosen_ef, chosen_recall = None, 0.0
     for ef in (16, 24, 32, 48, 64, 96, 128, 192, 256, 384, 512):
         ids, dists = run_batch(ef)
-        r = recall_of(dists)
+        r = recall_of(ids)
         log(f"[bench] ef={ef}: recall@{k}={r:.4f}")
         chosen_ef, chosen_recall = ef, r
         if r >= RECALL_FLOOR:

@@ -1,0 +1,61 @@
+/* C ABI of the hnsw_tpu native core (libhnsw_core.so).
+ *
+ * Capability analog of the reference's FFI surface (libext.rs): opaque handles,
+ * insert/search/parallel variants, custom distances, plus flat-array exports for
+ * zero-copy handoff to the JAX/TPU search path. Vectors are float32; integer
+ * element types are converted by the caller (the Python tier keeps native dtypes).
+ */
+#ifndef HNSW_TPU_H
+#define HNSW_TPU_H
+
+#include <stdint.h>
+
+#ifdef __cplusplus
+extern "C" {
+#endif
+
+typedef float (*hnsw_dist_fn)(const float*, const float*, uint64_t);
+typedef int (*hnsw_filter_fn)(int64_t data_id);
+
+/* distname: one of "L1","L2","Cosine","Dot","Hamming","Jaccard","Hellinger",
+ * "Jeffreys","JensenShannon" (an optional "Dist" prefix is accepted).
+ * Returns NULL if max_nb_conn == 0 or > 256. */
+void* hnsw_init(uint64_t max_nb_conn, uint64_t ef_construction,
+                uint64_t max_elements, uint64_t max_layer, const char* distname);
+void* hnsw_init_ptrdist(uint64_t max_nb_conn, uint64_t ef_construction,
+                        uint64_t max_elements, uint64_t max_layer, hnsw_dist_fn fn);
+void hnsw_drop(void* h);
+
+void hnsw_set_extend_candidates(void* h, int flag);
+void hnsw_set_keeping_pruned(void* h, int flag);
+void hnsw_modify_level_scale(void* h, double factor); /* clamped to [0.2, 1.0] */
+
+void hnsw_insert(void* h, const float* v, uint64_t dim, int64_t data_id);
+void hnsw_parallel_insert(void* h, const float* vs, uint64_t n, uint64_t dim,
+                          const int64_t* ids, int n_threads /* 0 = hw default */);
+
+/* out_ids/out_d must hold knbn entries; returns the count found. */
+uint64_t hnsw_search(void* h, const float* q, uint64_t knbn, uint64_t ef,
+                     int64_t* out_ids, float* out_d);
+uint64_t hnsw_search_filter(void* h, const float* q, uint64_t knbn, uint64_t ef,
+                            hnsw_filter_fn filter, int64_t* out_ids, float* out_d);
+void hnsw_parallel_search(void* h, const float* qs, uint64_t nq, uint64_t knbn,
+                          uint64_t ef, int n_threads, int64_t* out_ids,
+                          float* out_d); /* row-major [nq, knbn], -1/inf padded */
+
+/* introspection + flat-array export (dense rows, -1/inf padded) */
+uint64_t hnsw_nb_points(void* h);
+uint64_t hnsw_dim(void* h);
+int64_t hnsw_entry_point(void* h);
+int32_t hnsw_max_level_used(void* h);
+int64_t hnsw_layer_count(void* h, int32_t layer);
+double hnsw_level_scale(void* h);
+void hnsw_export_meta(void* h, int64_t* origin, int32_t* level, int32_t* rank);
+void hnsw_export_data(void* h, float* out /* [n, dim] */);
+void hnsw_export_layer(void* h, int32_t layer, int32_t* ids /* [n, width] */,
+                       float* dists /* [n, width] */);
+
+#ifdef __cplusplus
+}
+#endif
+#endif /* HNSW_TPU_H */

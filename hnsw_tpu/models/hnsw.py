@@ -483,6 +483,24 @@ class Hnsw:
                 out.append(Neighbour(oid, float(d), self.get_point_id(i)))
         return out
 
+    def search_general(self, data, knbn: int, ef_arg: int) -> list[Neighbour]:
+        """Textbook top-down search (paper Alg. 5) — reference ``search_general``
+        (``src/hnsw.rs:1433-1482``, unused by its production path but part of the
+        API): full ``search_layer`` with ef=1 per upper layer, then ef at layer 0."""
+        if self._entry < 0:
+            return []
+        data = np.asarray(data, dtype=self.dtype)
+        ep = self._entry
+        for layer in range(int(self._level[self._entry]), 0, -1):
+            res = self._search_layer(data, ep, 1, layer, None)
+            if res:
+                ep = res[0][1]
+        ef = max(ef_arg, knbn)
+        res = self._search_layer(data, ep, ef, 0, None)
+        res_sorted = sorted([(-nd, i) for nd, i in res])[: min(knbn, ef, len(res))]
+        return [Neighbour(int(self._origin[i]), float(d), self.get_point_id(i))
+                for d, i in res_sorted]
+
     def search(self, data, knbn: int, ef_arg: int) -> list[Neighbour]:
         return self.search_filter(data, knbn, ef_arg, None)
 

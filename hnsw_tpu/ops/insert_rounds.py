@@ -395,6 +395,9 @@ def device_parallel_insert(hnsw, pairs, batch_size: Optional[int] = None,
                           keep_pruned=bool(hnsw.keep_pruned), B1=B1)
         tables = _round_step(vectors, sqnorms, levels_j, tables, jnp.asarray(bidx),
                              jnp.int32(entry), cfg=cfg)
+        if e % 50_000 < Br:  # reference prints every 50k inserts (src/hnsw.rs:524-526)
+            from ..utils.logging import init_logging
+            init_logging().info("device insert: %d points indexed", e)
         # post-round: update counts and promote entry (reference check_entry_point)
         counts[: ] += np.bincount(round_levels, minlength=L)[:L]
         mx = int(round_levels.max(initial=-1))

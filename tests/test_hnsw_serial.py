@@ -117,3 +117,15 @@ def test_duplicate_and_dim_checks(rng):
         Hnsw(max_nb_connection=300)
     with pytest.raises(ValueError):
         Hnsw(max_layer=17)
+
+
+def test_search_general_matches_production(rng):
+    n, d = 300, 10
+    X = rng.random((n, d)).astype(np.float32)
+    h = Hnsw(max_nb_connection=12, max_elements=n, ef_construction=100, dist="L2")
+    for i, v in enumerate(X):
+        h.insert(v, i)
+    for q in rng.random((5, d)).astype(np.float32):
+        a = {r.d_id for r in h.search(q, 5, 48)}
+        b = {r.d_id for r in h.search_general(q, 5, 48)}
+        assert len(a & b) >= 4  # two legitimate search paths, near-identical results
