@@ -47,6 +47,10 @@ def _build_so() -> str:
     return _SO
 
 
+_TYPED = {"float32": "f32", "float64": "f64", "int32": "i32",
+          "uint32": "u32", "uint16": "u16", "uint8": "u8"}
+
+
 def native_lib():
     """Load (building if needed) the native core; raises on toolchain failure."""
     global _lib
@@ -98,6 +102,28 @@ def native_lib():
         lib.hnsw_export_data.argtypes = [C.c_void_p, C.POINTER(C.c_float)]
         lib.hnsw_export_layer.argtypes = [C.c_void_p, C.c_int32,
                                           C.POINTER(C.c_int32), C.POINTER(C.c_float)]
+        # typed surface (element-type parity with the reference's per-type FFI)
+        for suf in _TYPED.values():
+            f = getattr(lib, f"hnsw_init_{suf}")
+            f.restype = C.c_void_p
+            f.argtypes = [C.c_uint64, C.c_uint64, C.c_uint64, C.c_uint64, C.c_char_p]
+            getattr(lib, f"hnsw_insert_{suf}").argtypes = [
+                C.c_void_p, C.c_void_p, C.c_uint64, C.c_int64]
+            getattr(lib, f"hnsw_parallel_insert_{suf}").argtypes = [
+                C.c_void_p, C.c_void_p, C.c_uint64, C.c_uint64,
+                C.POINTER(C.c_int64), C.c_int]
+            g = getattr(lib, f"hnsw_search_{suf}")
+            g.restype = C.c_uint64
+            g.argtypes = [C.c_void_p, C.c_void_p, C.c_uint64, C.c_uint64,
+                          C.POINTER(C.c_int64), C.POINTER(C.c_float)]
+            g = getattr(lib, f"hnsw_search_filter_{suf}")
+            g.restype = C.c_uint64
+            g.argtypes = [C.c_void_p, C.c_void_p, C.c_uint64, C.c_uint64,
+                          FILTER_FN_T, C.POINTER(C.c_int64), C.POINTER(C.c_float)]
+            getattr(lib, f"hnsw_parallel_search_{suf}").argtypes = [
+                C.c_void_p, C.c_void_p, C.c_uint64, C.c_uint64, C.c_uint64,
+                C.c_int, C.POINTER(C.c_int64), C.POINTER(C.c_float)]
+            getattr(lib, f"hnsw_export_data_{suf}").argtypes = [C.c_void_p, C.c_void_p]
         _lib = lib
         return lib
 
@@ -111,10 +137,16 @@ class NativeHnsw:
     ``HnswApi*`` opaque handles (``src/libext.rs:38-101``)."""
 
     def __init__(self, max_nb_connection=16, max_elements=10_000, max_layer=16,
-                 ef_construction=200, dist="L2", dist_fn=None):
+                 ef_construction=200, dist="L2", dist_fn=None, dtype=np.float32):
         self.lib = native_lib()
         self._keepalive = []
+        self.dtype = np.dtype(dtype)
+        if self.dtype.name not in _TYPED:
+            raise ValueError(f"unsupported native element type {self.dtype}")
+        self._suf = _TYPED[self.dtype.name]
         if dist_fn is not None:
+            if self.dtype != np.float32:
+                raise ValueError("custom distances are f32-only on the native tier")
             cb = DIST_FN_T(lambda a, b, n: float(
                 dist_fn(np.ctypeslib.as_array(a, (n,)), np.ctypeslib.as_array(b, (n,)))))
             self._keepalive.append(cb)
@@ -122,15 +154,21 @@ class NativeHnsw:
                                                 max_elements, max_layer, cb)
             self.dist_name = "DistPtr"
         else:
-            self.h = self.lib.hnsw_init(max_nb_connection, ef_construction,
-                                        max_elements, max_layer,
-                                        str(dist).encode())
+            self.h = getattr(self.lib, f"hnsw_init_{self._suf}")(
+                max_nb_connection, ef_construction, max_elements, max_layer,
+                str(dist).encode())
             self.dist_name = str(dist)
         if not self.h:
             raise ValueError("native init failed (check max_nb_connection <= 256)")
         self.M = max_nb_connection
         self.max_layer = max_layer
         self.ef_construction = ef_construction
+
+    def _fn(self, name):
+        return getattr(self.lib, f"hnsw_{name}_{self._suf}")
+
+    def _dp(self, a):
+        return C.c_void_p(a.ctypes.data)
 
     def __del__(self):
         try:
@@ -150,39 +188,39 @@ class NativeHnsw:
         self.lib.hnsw_modify_level_scale(self.h, float(f))
 
     def insert(self, v, data_id: int):
-        v = np.ascontiguousarray(v, np.float32)
-        self.lib.hnsw_insert(self.h, _fp(v), v.shape[-1], int(data_id))
+        v = np.ascontiguousarray(v, self.dtype)
+        self._fn("insert")(self.h, self._dp(v), v.shape[-1], int(data_id))
 
     def parallel_insert(self, X, ids, n_threads: int = 0):
-        X = np.ascontiguousarray(X, np.float32)
+        X = np.ascontiguousarray(X, self.dtype)
         ids = np.ascontiguousarray(ids, np.int64)
-        self.lib.hnsw_parallel_insert(self.h, _fp(X), X.shape[0], X.shape[1],
-                                      ids.ctypes.data_as(C.POINTER(C.c_int64)),
-                                      int(n_threads))
+        self._fn("parallel_insert")(self.h, self._dp(X), X.shape[0], X.shape[1],
+                                    ids.ctypes.data_as(C.POINTER(C.c_int64)),
+                                    int(n_threads))
 
     def search(self, q, knbn: int, ef: int, filter_fn=None):
-        q = np.ascontiguousarray(q, np.float32)
+        q = np.ascontiguousarray(q, self.dtype)
         out_i = np.full(knbn, -1, np.int64)
         out_d = np.full(knbn, np.inf, np.float32)
         if filter_fn is None:
-            k = self.lib.hnsw_search(self.h, _fp(q), knbn, ef,
-                                     out_i.ctypes.data_as(C.POINTER(C.c_int64)),
-                                     _fp(out_d))
+            k = self._fn("search")(self.h, self._dp(q), knbn, ef,
+                                   out_i.ctypes.data_as(C.POINTER(C.c_int64)),
+                                   _fp(out_d))
         else:
             cb = FILTER_FN_T(lambda i: 1 if filter_fn(int(i)) else 0)
-            k = self.lib.hnsw_search_filter(
-                self.h, _fp(q), knbn, ef, cb,
+            k = self._fn("search_filter")(
+                self.h, self._dp(q), knbn, ef, cb,
                 out_i.ctypes.data_as(C.POINTER(C.c_int64)), _fp(out_d))
         return out_i[:k], out_d[:k]
 
     def parallel_search(self, Q, knbn: int, ef: int, n_threads: int = 0):
-        Q = np.ascontiguousarray(Q, np.float32)
+        Q = np.ascontiguousarray(Q, self.dtype)
         nq = Q.shape[0]
         out_i = np.full((nq, knbn), -1, np.int64)
         out_d = np.full((nq, knbn), np.inf, np.float32)
-        self.lib.hnsw_parallel_search(self.h, _fp(Q), nq, knbn, ef, int(n_threads),
-                                      out_i.ctypes.data_as(C.POINTER(C.c_int64)),
-                                      _fp(out_d))
+        self._fn("parallel_search")(self.h, self._dp(Q), nq, knbn, ef, int(n_threads),
+                                    out_i.ctypes.data_as(C.POINTER(C.c_int64)),
+                                    _fp(out_d))
         return out_i, out_d
 
     def __len__(self):
@@ -199,12 +237,13 @@ class NativeHnsw:
         dim = int(self.lib.hnsw_dim(self.h))
         h = Hnsw(max_nb_connection=self.M, max_elements=max(n, 8),
                  max_layer=self.max_layer, ef_construction=self.ef_construction,
-                 dist=self.dist_name if self.dist_name != "DistPtr" else "L2")
+                 dist=self.dist_name if self.dist_name != "DistPtr" else "L2",
+                 dtype=self.dtype)
         if n == 0:
             return h
         h._set_dim(dim)
         h._ensure_cap(n)
-        self.lib.hnsw_export_data(self.h, _fp(h._data[:n].reshape(-1)) if h._data.dtype == np.float32 else None)
+        self._fn("export_data")(self.h, self._dp(h._data[:n]))
         org = np.empty(n, np.int64)
         lvl = np.empty(n, np.int32)
         rnk = np.empty(n, np.int32)

@@ -42,80 +42,121 @@ using std::size_t;
 
 enum class Dist : int32_t {
   L1 = 0, L2 = 1, Cosine = 2, Dot = 3, Hamming = 4, Jaccard = 5,
-  Hellinger = 6, Jeffreys = 7, JensenShannon = 8, Ptr = 100,
+  Hellinger = 6, Jeffreys = 7, JensenShannon = 8, Levenshtein = 9, Ptr = 100,
 };
 
-using DistFn = float (*)(const float*, const float*, uint64_t);
+template <typename T>
+using DistFnT = float (*)(const T*, const T*, uint64_t);
+using DistFn = DistFnT<float>;
 
-static float d_l1(const float* a, const float* b, uint64_t n) {
+template <typename T>
+static float d_l1(const T* a, const T* b, uint64_t n) {
   float s = 0;
-  for (uint64_t i = 0; i < n; ++i) s += std::fabs(a[i] - b[i]);
+  for (uint64_t i = 0; i < n; ++i) s += std::fabs(float(a[i]) - float(b[i]));
   return s;
 }
-static float d_l2(const float* a, const float* b, uint64_t n) {
+template <typename T>
+static float d_l2(const T* a, const T* b, uint64_t n) {
   float s = 0;
-  for (uint64_t i = 0; i < n; ++i) { float d = a[i] - b[i]; s += d * d; }
+  for (uint64_t i = 0; i < n; ++i) { float d = float(a[i]) - float(b[i]); s += d * d; }
   return std::sqrt(s);
 }
-static float d_dot(const float* a, const float* b, uint64_t n) {
+template <typename T>
+static float d_dot(const T* a, const T* b, uint64_t n) {
   float s = 0;
-  for (uint64_t i = 0; i < n; ++i) s += a[i] * b[i];
+  for (uint64_t i = 0; i < n; ++i) s += float(a[i]) * float(b[i]);
   return 1.0f - s;
 }
-static float d_cos(const float* a, const float* b, uint64_t n) {
+template <typename T>
+static float d_cos(const T* a, const T* b, uint64_t n) {
   float s = 0, na = 0, nb = 0;
-  for (uint64_t i = 0; i < n; ++i) { s += a[i] * b[i]; na += a[i] * a[i]; nb += b[i] * b[i]; }
+  for (uint64_t i = 0; i < n; ++i) {
+    float x = float(a[i]), y = float(b[i]);
+    s += x * y; na += x * x; nb += y * y;
+  }
   float d = std::sqrt(na) * std::sqrt(nb);
   return d > 0 ? 1.0f - s / std::max(d, 1e-10f) : 1.0f;
 }
-static float d_ham(const float* a, const float* b, uint64_t n) {
+template <typename T>
+static float d_ham(const T* a, const T* b, uint64_t n) {
   uint64_t c = 0;
   for (uint64_t i = 0; i < n; ++i) c += (a[i] != b[i]);
   return float(c) / float(n);
 }
-static float d_jac(const float* a, const float* b, uint64_t n) {
+template <typename T>
+static float d_jac(const T* a, const T* b, uint64_t n) {
   float mn = 0, mx = 0;
-  for (uint64_t i = 0; i < n; ++i) { mn += std::min(a[i], b[i]); mx += std::max(a[i], b[i]); }
+  for (uint64_t i = 0; i < n; ++i) {
+    float x = float(a[i]), y = float(b[i]);
+    mn += std::min(x, y); mx += std::max(x, y);
+  }
   return mx > 0 ? 1.0f - mn / std::max(mx, 1e-10f) : 0.0f;
 }
-static float d_hel(const float* a, const float* b, uint64_t n) {
+template <typename T>
+static float d_hel(const T* a, const T* b, uint64_t n) {
   float s = 0;
   for (uint64_t i = 0; i < n; ++i) {
-    float d = std::sqrt(std::max(a[i], 0.0f)) - std::sqrt(std::max(b[i], 0.0f));
+    float d = std::sqrt(std::max(float(a[i]), 0.0f)) - std::sqrt(std::max(float(b[i]), 0.0f));
     s += d * d;
   }
   return std::sqrt(std::max(0.5f * s, 0.0f));
 }
-static float d_jef(const float* a, const float* b, uint64_t n) {
+template <typename T>
+static float d_jef(const T* a, const T* b, uint64_t n) {
   float s = 0;
   for (uint64_t i = 0; i < n; ++i) {
-    float x = std::max(a[i], 1e-10f), y = std::max(b[i], 1e-10f);
+    float x = std::max(float(a[i]), 1e-10f), y = std::max(float(b[i]), 1e-10f);
     s += (x - y) * (std::log(x) - std::log(y));
   }
   return s;
 }
-static float d_js(const float* a, const float* b, uint64_t n) {
+template <typename T>
+static float d_js(const T* a, const T* b, uint64_t n) {
   float s = 0;
   for (uint64_t i = 0; i < n; ++i) {
-    float m = 0.5f * (a[i] + b[i]);
-    if (a[i] > 0) s += a[i] * (std::log(std::max(a[i], 1e-10f)) - std::log(std::max(m, 1e-10f)));
-    if (b[i] > 0) s += b[i] * (std::log(std::max(b[i], 1e-10f)) - std::log(std::max(m, 1e-10f)));
+    float x = float(a[i]), y = float(b[i]);
+    float m = 0.5f * (x + y);
+    if (x > 0) s += x * (std::log(std::max(x, 1e-10f)) - std::log(std::max(m, 1e-10f)));
+    if (y > 0) s += y * (std::log(std::max(y, 1e-10f)) - std::log(std::max(m, 1e-10f)));
   }
   return std::sqrt(std::max(0.5f * s, 0.0f));
 }
+// Levenshtein on integer code points (reference uses u16 words,
+// tests/filtertest.rs:59-65); trailing zeros are treated as padding.
+template <typename T>
+static float d_lev(const T* a, const T* b, uint64_t n) {
+  uint64_t la = n, lb = n;
+  while (la > 0 && a[la - 1] == T(0)) --la;
+  while (lb > 0 && b[lb - 1] == T(0)) --lb;
+  if (la == 0) return float(lb);
+  if (lb == 0) return float(la);
+  std::vector<uint32_t> prev(lb + 1), cur(lb + 1);
+  for (uint64_t j = 0; j <= lb; ++j) prev[j] = uint32_t(j);
+  for (uint64_t i = 1; i <= la; ++i) {
+    cur[0] = uint32_t(i);
+    for (uint64_t j = 1; j <= lb; ++j) {
+      uint32_t sub = prev[j - 1] + (a[i - 1] != b[j - 1]);
+      cur[j] = std::min({sub, prev[j] + 1, cur[j - 1] + 1});
+    }
+    std::swap(prev, cur);
+  }
+  return float(prev[lb]);
+}
 
-static DistFn dist_table(Dist d) {
+template <typename T>
+static DistFnT<T> dist_table(Dist d) {
   switch (d) {
-    case Dist::L1: return d_l1;
-    case Dist::L2: return d_l2;
-    case Dist::Cosine: return d_cos;
-    case Dist::Dot: return d_dot;
-    case Dist::Hamming: return d_ham;
-    case Dist::Jaccard: return d_jac;
-    case Dist::Hellinger: return d_hel;
-    case Dist::Jeffreys: return d_jef;
-    case Dist::JensenShannon: return d_js;
-    default: return d_l2;
+    case Dist::L1: return d_l1<T>;
+    case Dist::L2: return d_l2<T>;
+    case Dist::Cosine: return d_cos<T>;
+    case Dist::Dot: return d_dot<T>;
+    case Dist::Hamming: return d_ham<T>;
+    case Dist::Jaccard: return d_jac<T>;
+    case Dist::Hellinger: return d_hel<T>;
+    case Dist::Jeffreys: return d_jef<T>;
+    case Dist::JensenShannon: return d_js<T>;
+    case Dist::Levenshtein: return d_lev<T>;
+    default: return d_l2<T>;
   }
 }
 
@@ -147,15 +188,16 @@ struct Point {
   mutable std::mutex lock;
 };
 
+template <typename T>
 struct Index {
   // config
   uint64_t M, efc, max_layer;
   Dist dist_kind;
-  DistFn dist;
+  DistFnT<T> dist;
   uint64_t dim = 0;
   bool extend_candidates = false, keep_pruned = false;
   // storage
-  std::vector<float> data;       // [n, dim]
+  std::vector<T> data;           // [n, dim]
   std::vector<int64_t> origin;   // external ids
   std::vector<int32_t> level;
   std::vector<int32_t> rank;
@@ -172,13 +214,13 @@ struct Index {
 
   Index(uint64_t M_, uint64_t efc_, uint64_t cap, uint64_t max_layer_, Dist dk)
       : M(M_), efc(efc_), max_layer(std::min<uint64_t>(max_layer_, 16)),
-        dist_kind(dk), dist(dist_table(dk)), capacity(std::max<uint64_t>(cap, 16)) {
+        dist_kind(dk), dist(dist_table<T>(dk)), capacity(std::max<uint64_t>(cap, 16)) {
     scale = 1.0 / std::log(double(std::max<uint64_t>(M, 2)));
     points.resize(capacity);
     layer_counts.assign(max_layer, 0);
   }
 
-  const float* vec(int64_t i) const { return data.data() + uint64_t(i) * dim; }
+  const T* vec(int64_t i) const { return data.data() + uint64_t(i) * dim; }
   uint64_t width(uint64_t l) const { return l == 0 ? 2 * M : M; }
 
   int sample_level() {
@@ -201,13 +243,13 @@ struct Index {
     capacity = nc;
   }
 
-  int64_t allocate(const float* v, uint64_t d_, int64_t oid, int forced_level) {
+  int64_t allocate(const T* v, uint64_t d_, int64_t oid, int forced_level) {
     std::lock_guard<std::mutex> g(alloc_lock);
     if (dim == 0) dim = d_;
     int64_t i = n.load();
     grow(size_t(i) + 1);
     data.resize(size_t(i + 1) * dim);
-    std::memcpy(data.data() + size_t(i) * dim, v, dim * sizeof(float));
+    std::memcpy(data.data() + size_t(i) * dim, v, dim * sizeof(T));
     int lv = forced_level >= 0 ? forced_level : sample_level();
     origin.push_back(oid);
     level.push_back(lv);
@@ -220,7 +262,7 @@ struct Index {
 
   // ---------------------------------------------------------------- search_layer ----
   // ef-capped best-first search in one layer; mirrors reference src/hnsw.rs:922-1064.
-  void search_layer(const float* q, int64_t ep, uint64_t ef, uint64_t layer,
+  void search_layer(const T* q, int64_t ep, uint64_t ef, uint64_t layer,
                     std::vector<Link>& out) const {
     out.clear();
     if (layer >= max_layer || layer_counts[layer] == 0 || ep < 0) return;
@@ -264,7 +306,7 @@ struct Index {
   }
 
   // ------------------------------------------------------------ select_neighbours ---
-  void select_neighbours(const float* q, std::vector<Link>& cand, uint64_t nb_asked,
+  void select_neighbours(const T* q, std::vector<Link>& cand, uint64_t nb_asked,
                          bool extend, uint64_t layer, std::vector<Link>& kept) const {
     kept.clear();
     std::sort(cand.begin(), cand.end(), link_lt);
@@ -300,7 +342,7 @@ struct Index {
   }
 
   // ------------------------------------------------------------------- insert -------
-  void insert(const float* v, uint64_t d_, int64_t oid, int forced_level = -1) {
+  void insert(const T* v, uint64_t d_, int64_t oid, int forced_level = -1) {
     int64_t idx = allocate(v, d_, oid, forced_level);
     int lv = level[idx];
     int64_t ep;
@@ -313,7 +355,7 @@ struct Index {
       if (entry.load() < 0) { entry.store(idx); return; }
       ep = entry.load();
     }
-    const float* q = vec(idx);
+    const T* q = vec(idx);
     int max_obs = level[ep];
     float d_entry = dist(q, vec(ep), dim);
     std::vector<Link> res, cand, kept;
@@ -374,7 +416,7 @@ struct Index {
     }
   }
 
-  void parallel_insert(const float* vs, uint64_t count, uint64_t d_,
+  void parallel_insert(const T* vs, uint64_t count, uint64_t d_,
                        const int64_t* oids, int n_threads) {
     if (n_threads <= 0) n_threads = int(std::thread::hardware_concurrency());
     // pre-sample levels under one lock so the stream stays deterministic in order
@@ -405,7 +447,7 @@ struct Index {
 
   // ------------------------------------------------------------------- search -------
   // production path: one-scan greedy descent + layer search (src/hnsw.rs:1487-1599)
-  uint64_t search(const float* q, uint64_t knbn, uint64_t ef_arg,
+  uint64_t search(const T* q, uint64_t knbn, uint64_t ef_arg,
                   int (*filter)(int64_t), std::vector<Link>& out) const {
     out.clear();
     int64_t ep = entry.load();
@@ -440,7 +482,7 @@ struct Index {
   // search_layer with in-search filtering (reference filter semantics,
   // src/hnsw.rs:992-1050): no early return with a filter; results admit only
   // filter-passing points; traversal uses all points.
-  void search_layer_filtered(const float* q, int64_t ep, uint64_t ef, uint64_t layer,
+  void search_layer_filtered(const T* q, int64_t ep, uint64_t ef, uint64_t layer,
                              int (*filter)(int64_t), std::vector<Link>& out) const {
     if (!filter) { search_layer(q, ep, ef, layer, out); return; }
     out.clear();
@@ -485,7 +527,7 @@ struct Index {
     std::sort(out.begin(), out.end(), link_lt);
   }
 
-  void parallel_search(const float* qs, uint64_t nq, uint64_t knbn, uint64_t ef,
+  void parallel_search(const T* qs, uint64_t nq, uint64_t knbn, uint64_t ef,
                        int n_threads, int64_t* out_ids, float* out_d) const {
     if (n_threads <= 0) n_threads = int(std::thread::hardware_concurrency());
     std::atomic<uint64_t> next{0};
@@ -524,131 +566,211 @@ static Dist dist_from_name(const char* name) {
   if (s == "Hellinger") return Dist::Hellinger;
   if (s == "Jeffreys") return Dist::Jeffreys;
   if (s == "JensenShannon") return Dist::JensenShannon;
+  if (s == "Levenshtein") return Dist::Levenshtein;
   return Dist::L2;
+}
+
+// Tagged handle: the ABI is typed per element type like the reference's
+// per-(type x distance) FFI surface (libext.rs init_hnsw_{f32,i32,u32,u16,u8}).
+enum class TCode : int32_t { F32 = 0, F64 = 1, I32 = 2, U32 = 3, U16 = 4, U8 = 5 };
+
+struct Handle {
+  TCode t;
+  void* ix;
+};
+
+template <typename F>
+static auto dispatch(Handle* h, F&& f) {
+  switch (h->t) {
+    case TCode::F32: return f(static_cast<Index<float>*>(h->ix));
+    case TCode::F64: return f(static_cast<Index<double>*>(h->ix));
+    case TCode::I32: return f(static_cast<Index<int32_t>*>(h->ix));
+    case TCode::U32: return f(static_cast<Index<uint32_t>*>(h->ix));
+    case TCode::U16: return f(static_cast<Index<uint16_t>*>(h->ix));
+    default: return f(static_cast<Index<uint8_t>*>(h->ix));
+  }
+}
+
+template <typename T>
+static Handle* make_handle(TCode t, uint64_t m, uint64_t efc, uint64_t cap,
+                           uint64_t ml, const char* dist) {
+  if (m == 0 || m > 256) return nullptr;
+  return new Handle{t, new Index<T>(m, efc, cap, ml ? ml : 16, dist_from_name(dist))};
 }
 
 }  // namespace
 
 // ------------------------------------------------------------------- C ABI ----------
-// Mirrors the shape of the reference's libext.rs surface (init/insert/search/
-// parallel variants/drop), plus flat-array exports for zero-copy TPU handoff.
+// Typed surface mirroring the reference's libext.rs shape, plus flat-array exports
+// for zero-copy handoff to the TPU path. Unsuffixed names are the f32 instance.
 
 extern "C" {
 
-void* hnsw_init(uint64_t max_nb_conn, uint64_t ef_c, uint64_t max_elements,
-                uint64_t max_layer, const char* distname) {
-  if (max_nb_conn == 0 || max_nb_conn > 256) return nullptr;
-  return new Index(max_nb_conn, ef_c, max_elements, max_layer ? max_layer : 16,
-                   dist_from_name(distname));
+#define HNSW_TYPED_ABI(SUF, CT, TC)                                                    \
+  void* hnsw_init_##SUF(uint64_t m, uint64_t efc, uint64_t cap, uint64_t ml,           \
+                        const char* dist) {                                            \
+    return make_handle<CT>(TC, m, efc, cap, ml, dist);                                 \
+  }                                                                                    \
+  void hnsw_insert_##SUF(void* h, const CT* v, uint64_t dim, int64_t id) {             \
+    static_cast<Index<CT>*>(static_cast<Handle*>(h)->ix)->insert(v, dim, id);          \
+  }                                                                                    \
+  void hnsw_parallel_insert_##SUF(void* h, const CT* vs, uint64_t n, uint64_t dim,     \
+                                  const int64_t* ids, int nt) {                        \
+    static_cast<Index<CT>*>(static_cast<Handle*>(h)->ix)                               \
+        ->parallel_insert(vs, n, dim, ids, nt);                                        \
+  }                                                                                    \
+  uint64_t hnsw_search_##SUF(void* h, const CT* q, uint64_t knbn, uint64_t ef,         \
+                             int64_t* oi, float* od) {                                 \
+    auto* ix = static_cast<Index<CT>*>(static_cast<Handle*>(h)->ix);                   \
+    std::vector<Link> res;                                                             \
+    ix->search(q, knbn, ef, nullptr, res);                                             \
+    for (size_t i = 0; i < res.size(); ++i) {                                          \
+      oi[i] = ix->origin[res[i].id];                                                   \
+      od[i] = res[i].dist;                                                             \
+    }                                                                                  \
+    return res.size();                                                                 \
+  }                                                                                    \
+  uint64_t hnsw_search_filter_##SUF(void* h, const CT* q, uint64_t knbn, uint64_t ef,  \
+                                    int (*filter)(int64_t), int64_t* oi, float* od) {  \
+    auto* ix = static_cast<Index<CT>*>(static_cast<Handle*>(h)->ix);                   \
+    std::vector<Link> res;                                                             \
+    ix->search(q, knbn, ef, filter, res);                                              \
+    for (size_t i = 0; i < res.size(); ++i) {                                          \
+      oi[i] = ix->origin[res[i].id];                                                   \
+      od[i] = res[i].dist;                                                             \
+    }                                                                                  \
+    return res.size();                                                                 \
+  }                                                                                    \
+  void hnsw_parallel_search_##SUF(void* h, const CT* qs, uint64_t nq, uint64_t knbn,   \
+                                  uint64_t ef, int nt, int64_t* oi, float* od) {       \
+    static_cast<Index<CT>*>(static_cast<Handle*>(h)->ix)                               \
+        ->parallel_search(qs, nq, knbn, ef, nt, oi, od);                               \
+  }                                                                                    \
+  void hnsw_export_data_##SUF(void* h, CT* out) {                                      \
+    auto* ix = static_cast<Index<CT>*>(static_cast<Handle*>(h)->ix);                   \
+    std::memcpy(out, ix->data.data(), size_t(ix->n.load()) * ix->dim * sizeof(CT));    \
+  }
+
+HNSW_TYPED_ABI(f32, float, TCode::F32)
+HNSW_TYPED_ABI(f64, double, TCode::F64)
+HNSW_TYPED_ABI(i32, int32_t, TCode::I32)
+HNSW_TYPED_ABI(u32, uint32_t, TCode::U32)
+HNSW_TYPED_ABI(u16, uint16_t, TCode::U16)
+HNSW_TYPED_ABI(u8, uint8_t, TCode::U8)
+#undef HNSW_TYPED_ABI
+
+// ----- legacy unsuffixed names = f32 (keeps the original header contract) -----
+
+void* hnsw_init(uint64_t m, uint64_t efc, uint64_t cap, uint64_t ml,
+                const char* dist) {
+  return hnsw_init_f32(m, efc, cap, ml, dist);
 }
 
-void* hnsw_init_ptrdist(uint64_t max_nb_conn, uint64_t ef_c, uint64_t max_elements,
-                        uint64_t max_layer, DistFn fn) {
-  auto* ix = new Index(max_nb_conn, ef_c, max_elements, max_layer ? max_layer : 16,
-                       Dist::Ptr);
-  ix->dist = fn;
-  return ix;
-}
-
-void hnsw_drop(void* h) { delete static_cast<Index*>(h); }
-
-void hnsw_set_extend_candidates(void* h, int flag) {
-  static_cast<Index*>(h)->extend_candidates = flag != 0;
-}
-void hnsw_set_keeping_pruned(void* h, int flag) {
-  static_cast<Index*>(h)->keep_pruned = flag != 0;
-}
-void hnsw_modify_level_scale(void* h, double factor) {
-  auto* ix = static_cast<Index*>(h);
-  factor = std::min(1.0, std::max(0.2, factor));
-  ix->scale = factor / std::log(double(std::max<uint64_t>(ix->M, 2)));
+void* hnsw_init_ptrdist(uint64_t m, uint64_t efc, uint64_t cap, uint64_t ml,
+                        DistFn fn) {
+  auto* h = static_cast<Handle*>(hnsw_init_f32(m, efc, cap, ml, "L2"));
+  if (h) {
+    auto* ix = static_cast<Index<float>*>(h->ix);
+    ix->dist_kind = Dist::Ptr;
+    ix->dist = fn;
+  }
+  return h;
 }
 
 void hnsw_insert(void* h, const float* v, uint64_t dim, int64_t id) {
-  static_cast<Index*>(h)->insert(v, dim, id);
+  hnsw_insert_f32(h, v, dim, id);
 }
-
 void hnsw_parallel_insert(void* h, const float* vs, uint64_t n, uint64_t dim,
-                          const int64_t* ids, int n_threads) {
-  static_cast<Index*>(h)->parallel_insert(vs, n, dim, ids, n_threads);
+                          const int64_t* ids, int nt) {
+  hnsw_parallel_insert_f32(h, vs, n, dim, ids, nt);
 }
-
 uint64_t hnsw_search(void* h, const float* q, uint64_t knbn, uint64_t ef,
-                     int64_t* out_ids, float* out_d) {
-  std::vector<Link> res;
-  auto* ix = static_cast<Index*>(h);
-  ix->search(q, knbn, ef, nullptr, res);
-  for (size_t i = 0; i < res.size(); ++i) {
-    out_ids[i] = ix->origin[res[i].id];
-    out_d[i] = res[i].dist;
-  }
-  return res.size();
+                     int64_t* oi, float* od) {
+  return hnsw_search_f32(h, q, knbn, ef, oi, od);
 }
-
 uint64_t hnsw_search_filter(void* h, const float* q, uint64_t knbn, uint64_t ef,
-                            int (*filter)(int64_t), int64_t* out_ids, float* out_d) {
-  std::vector<Link> res;
-  auto* ix = static_cast<Index*>(h);
-  ix->search(q, knbn, ef, filter, res);
-  for (size_t i = 0; i < res.size(); ++i) {
-    out_ids[i] = ix->origin[res[i].id];
-    out_d[i] = res[i].dist;
-  }
-  return res.size();
+                            int (*filter)(int64_t), int64_t* oi, float* od) {
+  return hnsw_search_filter_f32(h, q, knbn, ef, filter, oi, od);
 }
-
 void hnsw_parallel_search(void* h, const float* qs, uint64_t nq, uint64_t knbn,
-                          uint64_t ef, int n_threads, int64_t* out_ids,
-                          float* out_d) {
-  static_cast<Index*>(h)->parallel_search(qs, nq, knbn, ef, n_threads, out_ids, out_d);
+                          uint64_t ef, int nt, int64_t* oi, float* od) {
+  hnsw_parallel_search_f32(h, qs, nq, knbn, ef, nt, oi, od);
+}
+void hnsw_export_data(void* h, float* out) { hnsw_export_data_f32(h, out); }
+
+// ----- type-agnostic operations (dispatch on the handle tag) -----
+
+void hnsw_drop(void* hv) {
+  auto* h = static_cast<Handle*>(hv);
+  if (!h) return;
+  dispatch(h, [](auto* ix) { delete ix; });
+  delete h;
 }
 
-// ----- introspection + flat-array export (zero-copy handoff to the TPU path) -----
-
-uint64_t hnsw_nb_points(void* h) { return uint64_t(static_cast<Index*>(h)->n.load()); }
-uint64_t hnsw_dim(void* h) { return static_cast<Index*>(h)->dim; }
-int64_t hnsw_entry_point(void* h) { return static_cast<Index*>(h)->entry.load(); }
-int32_t hnsw_max_level_used(void* h) {
-  auto* ix = static_cast<Index*>(h);
-  int64_t e = ix->entry.load();
-  return e >= 0 ? ix->level[e] : 0;
+void hnsw_set_extend_candidates(void* hv, int flag) {
+  dispatch(static_cast<Handle*>(hv), [&](auto* ix) { ix->extend_candidates = flag != 0; });
 }
-int64_t hnsw_layer_count(void* h, int32_t l) {
-  auto* ix = static_cast<Index*>(h);
-  return (l >= 0 && uint64_t(l) < ix->max_layer) ? ix->layer_counts[l] : 0;
+void hnsw_set_keeping_pruned(void* hv, int flag) {
+  dispatch(static_cast<Handle*>(hv), [&](auto* ix) { ix->keep_pruned = flag != 0; });
 }
-double hnsw_level_scale(void* h) { return static_cast<Index*>(h)->scale; }
-
-void hnsw_export_meta(void* h, int64_t* origin, int32_t* level, int32_t* rank) {
-  auto* ix = static_cast<Index*>(h);
-  int64_t cnt = ix->n.load();
-  std::memcpy(origin, ix->origin.data(), size_t(cnt) * sizeof(int64_t));
-  std::memcpy(level, ix->level.data(), size_t(cnt) * sizeof(int32_t));
-  std::memcpy(rank, ix->rank.data(), size_t(cnt) * sizeof(int32_t));
+void hnsw_modify_level_scale(void* hv, double factor) {
+  factor = std::min(1.0, std::max(0.2, factor));
+  dispatch(static_cast<Handle*>(hv), [&](auto* ix) {
+    ix->scale = factor / std::log(double(std::max<uint64_t>(ix->M, 2)));
+  });
 }
 
-void hnsw_export_data(void* h, float* out) {
-  auto* ix = static_cast<Index*>(h);
-  std::memcpy(out, ix->data.data(), size_t(ix->n.load()) * ix->dim * sizeof(float));
+uint64_t hnsw_nb_points(void* hv) {
+  return dispatch(static_cast<Handle*>(hv),
+                  [](auto* ix) { return uint64_t(ix->n.load()); });
+}
+uint64_t hnsw_dim(void* hv) {
+  return dispatch(static_cast<Handle*>(hv), [](auto* ix) { return uint64_t(ix->dim); });
+}
+int64_t hnsw_entry_point(void* hv) {
+  return dispatch(static_cast<Handle*>(hv), [](auto* ix) { return ix->entry.load(); });
+}
+int32_t hnsw_max_level_used(void* hv) {
+  return dispatch(static_cast<Handle*>(hv), [](auto* ix) {
+    int64_t e = ix->entry.load();
+    return e >= 0 ? ix->level[e] : 0;
+  });
+}
+int64_t hnsw_layer_count(void* hv, int32_t l) {
+  return dispatch(static_cast<Handle*>(hv), [&](auto* ix) {
+    return (l >= 0 && uint64_t(l) < ix->max_layer) ? ix->layer_counts[l] : int64_t(0);
+  });
+}
+double hnsw_level_scale(void* hv) {
+  return dispatch(static_cast<Handle*>(hv), [](auto* ix) { return ix->scale; });
 }
 
-// rows padded with -1/inf into caller buffers of shape [n, width(l)]
-void hnsw_export_layer(void* h, int32_t l, int32_t* ids, float* dists) {
-  auto* ix = static_cast<Index*>(h);
-  int64_t cnt = ix->n.load();
-  uint64_t w = ix->width(uint64_t(l));
-  for (int64_t i = 0; i < cnt; ++i) {
-    const auto& row = ix->points[i].nbrs[l];
-    uint64_t m = std::min<uint64_t>(row.size(), w);
-    for (uint64_t j = 0; j < m; ++j) {
-      ids[uint64_t(i) * w + j] = row[j].id;
-      dists[uint64_t(i) * w + j] = row[j].dist;
+void hnsw_export_meta(void* hv, int64_t* origin, int32_t* level, int32_t* rank) {
+  dispatch(static_cast<Handle*>(hv), [&](auto* ix) {
+    int64_t cnt = ix->n.load();
+    std::memcpy(origin, ix->origin.data(), size_t(cnt) * sizeof(int64_t));
+    std::memcpy(level, ix->level.data(), size_t(cnt) * sizeof(int32_t));
+    std::memcpy(rank, ix->rank.data(), size_t(cnt) * sizeof(int32_t));
+  });
+}
+
+void hnsw_export_layer(void* hv, int32_t l, int32_t* ids, float* dists) {
+  dispatch(static_cast<Handle*>(hv), [&](auto* ix) {
+    int64_t cnt = ix->n.load();
+    uint64_t w = ix->width(uint64_t(l));
+    for (int64_t i = 0; i < cnt; ++i) {
+      const auto& row = ix->points[i].nbrs[l];
+      uint64_t m = std::min<uint64_t>(row.size(), w);
+      for (uint64_t j = 0; j < m; ++j) {
+        ids[uint64_t(i) * w + j] = row[j].id;
+        dists[uint64_t(i) * w + j] = row[j].dist;
+      }
+      for (uint64_t j = m; j < w; ++j) {
+        ids[uint64_t(i) * w + j] = -1;
+        dists[uint64_t(i) * w + j] = INFINITY;
+      }
     }
-    for (uint64_t j = m; j < w; ++j) {
-      ids[uint64_t(i) * w + j] = -1;
-      dists[uint64_t(i) * w + j] = INFINITY;
-    }
-  }
+  });
 }
 
 }  // extern "C"

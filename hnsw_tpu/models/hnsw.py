@@ -520,6 +520,8 @@ class Hnsw:
         pairs = [(np.asarray(v, dtype=self.dtype), int(i)) for v, i in data_with_ids]
         if mode == "auto":
             mode = "device" if len(pairs) >= 2048 else "serial"
+        if mode == "device" and self.metric.jnp_scores is None:
+            mode = "serial"  # metric has no device kernel (Levenshtein, DistPtr)
         if mode == "serial":
             for v, i in pairs:
                 self.insert(v, i)
@@ -540,6 +542,8 @@ class Hnsw:
             queries = queries[None, :]
         if mode == "auto":
             mode = "device" if (len(queries) >= 4 and self._nb_point >= 64) else "serial"
+        if mode == "device" and self.metric.jnp_scores is None:
+            mode = "serial"  # metric has no device kernel (Levenshtein, DistPtr)
         if mode == "serial":
             return [self.search_filter(q, knbn, ef, filter) for q in queries]
         ids, dists = self.search_batch(queries, knbn, ef, filter=filter)

@@ -106,3 +106,27 @@ def test_native_distance_values_match(native, rng):
         for j, i in enumerate(ids):
             want = m.pair(X[5], X[int(i)])
             assert dists[j] == pytest.approx(want, rel=2e-3, abs=2e-3), name
+
+
+def test_native_typed_elements(native, rng):
+    """Element-type parity with the reference's per-type FFI (u8/u16/u32/i32/f64)."""
+    for dt, dist in [(np.uint8, "L1"), (np.uint16, "Levenshtein"), (np.uint32, "Jaccard"),
+                     (np.int32, "L2"), (np.float64, "L2")]:
+        n = 80
+        if dt == np.uint16 and dist == "Levenshtein":
+            X = rng.integers(97, 123, (n, 8)).astype(dt)
+        elif np.issubdtype(dt, np.integer):
+            X = rng.integers(0, 100, (n, 12)).astype(dt)
+        else:
+            X = rng.random((n, 12)).astype(dt)
+        nh = native(max_nb_connection=8, max_elements=n, ef_construction=40,
+                    dist=dist, dtype=dt)
+        for i, v in enumerate(X):
+            nh.insert(v, i)
+        ids, dists = nh.search(X[5], 3, 16)
+        assert ids[0] == 5, (dt, dist, ids)
+        assert dists[0] == pytest.approx(0.0, abs=1e-5)
+        # typed round trip through the flat-array handoff
+        h = nh.to_hnsw()
+        assert h.dtype == np.dtype(dt)
+        assert h.search(X[5], 1, 16)[0].d_id == 5

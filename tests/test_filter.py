@@ -60,3 +60,24 @@ def test_filter_objects():
     assert not f.hnsw_filter(2) and not f.hnsw_filter(100)
     mask = f.mask_for(np.array([1, 2, 9, 50]))
     assert mask.tolist() == [True, False, True, False]
+
+
+def test_levenshtein_index_with_filter(rng):
+    """Analog of reference filter_levenstein (tests/filtertest.rs:53-149): index
+    fixed-width u16 'words', search with and without a sorted-id filter."""
+    from hnsw_tpu import Hnsw
+    words = rng.integers(97, 123, (120, 8)).astype(np.uint16)
+    h = Hnsw(max_nb_connection=8, max_elements=120, ef_construction=40,
+             dist="Levenshtein", dtype=np.uint16)
+    for i, w in enumerate(words):
+        h.insert(w, i)
+    q = words[7].copy()
+    q[3] = 97  # one edit away at most
+    res = h.search(q, 3, 24)
+    assert res and res[0].distance <= 1.0
+    keep = sorted(range(0, 120, 3))
+    fres = h.search_filter(q, 3, 60, filter=keep)
+    assert fres and all(r.d_id % 3 == 0 for r in fres)
+    # parallel_search must fall back to the serial path (no device kernel)
+    answers = h.parallel_search(words[:6], 2, 16)
+    assert len(answers) == 6 and answers[0][0].d_id == 0
