@@ -302,7 +302,7 @@ def device_search_batch(hnsw, queries: np.ndarray, knbn: int, ef: int, filter=No
     if max_iters is None:
         # measured on v5e: queries complete by ~ef/expand iterations; the uncapped
         # formula only burns tail iterations with everyone done-masked (22% QPS)
-        max_iters = max(8, int(ef) // int(expand) + 4)
+        max_iters = max(8, int(ef) // int(expand) + 2)
     """Host wrapper: snapshot graph to device (cached), build the filter mask, run the
     jitted program, return numpy (internal ids [B,knbn] -1-padded, dists)."""
     if hnsw._nb_point == 0:
