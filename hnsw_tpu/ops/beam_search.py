@@ -297,6 +297,42 @@ _search_program = jax.jit(search_program,
                                            "max_iters"))
 
 
+def device_search_stream(hnsw, queries: np.ndarray, knbn: int, ef: int,
+                         batch: int = 4096, expand: int = 4, max_iters=None):
+    """Pipelined serving: dispatch batch i+1 before fetching batch i, so host
+    transfers overlap device compute. Returns (ids, dists) over all queries — the
+    sustained-throughput path for large query streams."""
+    if max_iters is None:
+        max_iters = max(8, int(ef) // int(expand) + 2)
+    q = np.asarray(queries, np.float32)
+    if q.ndim == 1:
+        q = q[None, :]
+    nq = q.shape[0]
+    g = hnsw.device_graph()
+    mask = jnp.zeros((g.cap1,), bool)
+    out_i = np.full((nq, knbn), -1, np.int64)
+    out_d = np.full((nq, knbn), np.inf, np.float32)
+    pending = []  # (start, end, device ids, device dists)
+    for s in list(range(0, nq, batch)) + [None]:
+        if s is not None:
+            e = min(s + batch, nq)
+            qb = q[s:e]
+            if e - s < batch:  # pad the tail batch
+                qb = np.concatenate([qb, np.repeat(qb[-1:], batch - (e - s), 0)])
+            ids, dists = _search_program(g, jnp.asarray(qb), mask, ef=int(ef),
+                                         knbn=int(knbn), expand=int(expand),
+                                         use_mask=False, max_iters=max_iters)
+            pending.append((s, e, ids, dists))
+        while pending and (s is None or len(pending) > 1):
+            ps, pe, ids, dists = pending.pop(0)
+            ids_h = np.array(ids)[: pe - ps]
+            d_h = np.array(dists)[: pe - ps]
+            ids_h[~np.isfinite(d_h)] = -1
+            out_i[ps:pe] = ids_h
+            out_d[ps:pe] = d_h
+    return out_i, out_d
+
+
 def device_search_batch(hnsw, queries: np.ndarray, knbn: int, ef: int, filter=None,
                         expand: int = 4, max_iters=None):
     if max_iters is None:
