@@ -124,6 +124,12 @@ def native_lib():
                 C.c_void_p, C.c_void_p, C.c_uint64, C.c_uint64, C.c_uint64,
                 C.c_int, C.POINTER(C.c_int64), C.POINTER(C.c_float)]
             getattr(lib, f"hnsw_export_data_{suf}").argtypes = [C.c_void_p, C.c_void_p]
+        lib.hnsw_file_dump.restype = C.c_int32
+        lib.hnsw_file_dump.argtypes = [C.c_void_p, C.c_char_p, C.c_char_p]
+        lib.hnsw_load.restype = C.c_void_p
+        lib.hnsw_load.argtypes = [C.c_char_p, C.c_char_p]
+        lib.hnsw_element_type.restype = C.c_int32
+        lib.hnsw_element_type.argtypes = [C.c_void_p]
         _lib = lib
         return lib
 
@@ -225,6 +231,36 @@ class NativeHnsw:
 
     def __len__(self):
         return int(self.lib.hnsw_nb_points(self.h))
+
+    def file_dump(self, path, basename: str) -> str:
+        """Reference-format dump straight from the native core (C ABI
+        ``hnsw_file_dump``) — interchangeable with the Python tier's reader."""
+        rc = self.lib.hnsw_file_dump(self.h, str(path).encode(), basename.encode())
+        if rc != 0:
+            raise IOError(f"native dump failed (rc={rc})")
+        return basename
+
+    @classmethod
+    def load(cls, path, basename: str) -> "NativeHnsw":
+        """Reload a Full v4 dump into a native index (C ABI ``hnsw_load``),
+        recovering the dumped element type."""
+        lib = native_lib()
+        h = lib.hnsw_load(str(path).encode(), basename.encode())
+        if not h:
+            raise IOError(f"native load failed for {path}/{basename}")
+        self = cls.__new__(cls)
+        self.lib = lib
+        self._keepalive = []
+        tcode = int(lib.hnsw_element_type(h))
+        self.dtype = np.dtype(["float32", "float64", "int32", "uint32", "uint16",
+                               "uint8"][tcode])
+        self._suf = _TYPED[self.dtype.name]
+        self.h = h
+        self.M = 0  # populated lazily from the header by callers that need it
+        self.max_layer = 16
+        self.ef_construction = 0
+        self.dist_name = "L2"
+        return self
 
     # ----------------------------------------------------- zero-copy TPU handoff -----
 

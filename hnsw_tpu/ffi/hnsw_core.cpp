@@ -23,6 +23,7 @@
 #include <atomic>
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 #include <deque>
 #include <mutex>
@@ -554,6 +555,188 @@ struct Index {
   }
 };
 
+// ------------------------------------------------------------- persistence ----------
+// Byte-compatible with the reference dump format v4 (two files,
+// <basename>.hnsw.graph + <basename>.hnsw.data; layout documented in
+// hnsw_tpu/io/hnswio.py and SURVEY.md §2.5). Little-endian, usize = u64.
+
+constexpr uint32_t MAGICPOINT = 0x000a678f;
+constexpr uint32_t MAGICDESCR_4 = 0x002a6779;
+constexpr uint32_t MAGICLAYER = 0x000a676f;
+constexpr uint32_t MAGICDATAP = 0xa67f0000;
+
+template <typename V>
+static void wr(std::FILE* f, V v) { std::fwrite(&v, sizeof(V), 1, f); }
+template <typename V>
+static bool rd(std::FILE* f, V* v) { return std::fread(v, sizeof(V), 1, f) == 1; }
+
+static const char* rust_dist_name(Dist d) {
+  switch (d) {
+    case Dist::L1: return "anndists::dist::distances::DistL1";
+    case Dist::L2: return "anndists::dist::distances::DistL2";
+    case Dist::Cosine: return "anndists::dist::distances::DistCosine";
+    case Dist::Dot: return "anndists::dist::distances::DistDot";
+    case Dist::Hamming: return "anndists::dist::distances::DistHamming";
+    case Dist::Jaccard: return "anndists::dist::distances::DistJaccard";
+    case Dist::Hellinger: return "anndists::dist::distances::DistHellinger";
+    case Dist::Jeffreys: return "anndists::dist::distances::DistJeffreys";
+    case Dist::JensenShannon: return "anndists::dist::distances::DistJensenShannon";
+    case Dist::Levenshtein: return "anndists::dist::distances::DistLevenshtein";
+    default: return "anndists::dist::distances::DistPtr";
+  }
+}
+
+template <typename T> static const char* rust_type_name();
+template <> const char* rust_type_name<float>() { return "f32"; }
+template <> const char* rust_type_name<double>() { return "f64"; }
+template <> const char* rust_type_name<int32_t>() { return "i32"; }
+template <> const char* rust_type_name<uint32_t>() { return "u32"; }
+template <> const char* rust_type_name<uint16_t>() { return "u16"; }
+template <> const char* rust_type_name<uint8_t>() { return "u8"; }
+
+template <typename T>
+static int dump_index(Index<T>& ix, const char* dir, const char* basename) {
+  std::string g = std::string(dir) + "/" + basename + ".hnsw.graph";
+  std::string dp = std::string(dir) + "/" + basename + ".hnsw.data";
+  std::FILE* fg = std::fopen(g.c_str(), "wb");
+  std::FILE* fd = std::fopen(dp.c_str(), "wb");
+  if (!fg || !fd) { if (fg) std::fclose(fg); if (fd) std::fclose(fd); return -1; }
+  int64_t n = ix.n.load();
+  if (n == 0 || ix.entry.load() < 0) { std::fclose(fg); std::fclose(fd); return -2; }
+  // description header
+  wr<uint32_t>(fg, MAGICDESCR_4);
+  wr<uint8_t>(fg, 1);  // Full
+  wr<uint8_t>(fg, uint8_t(ix.M));
+  wr<double>(fg, ix.scale);
+  wr<uint8_t>(fg, 16);
+  wr<uint64_t>(fg, ix.efc);
+  wr<uint64_t>(fg, uint64_t(n));
+  wr<uint64_t>(fg, ix.dim);
+  std::string dn = rust_dist_name(ix.dist_kind);
+  wr<uint64_t>(fg, dn.size());
+  std::fwrite(dn.data(), 1, dn.size(), fg);
+  std::string tn = rust_type_name<T>();
+  wr<uint64_t>(fg, tn.size());
+  std::fwrite(tn.data(), 1, tn.size(), fg);
+  // data header
+  wr<uint32_t>(fd, MAGICDATAP);
+  wr<uint64_t>(fd, ix.dim);
+  // iteration order: layer 0 upward, rank order (reference PointIndexation::dump)
+  std::vector<std::vector<int64_t>> by_layer(16);
+  for (int64_t i = 0; i < n; ++i) by_layer[ix.level[i]].push_back(i);
+  for (auto& v : by_layer)
+    std::sort(v.begin(), v.end(), [&](int64_t a, int64_t b) {
+      return ix.rank[a] < ix.rank[b];
+    });
+  wr<uint8_t>(fg, 16);  // nb_layer again (PointIndexation::dump)
+  for (int l = 0; l < 16; ++l) {
+    wr<uint32_t>(fg, MAGICLAYER);
+    wr<uint64_t>(fg, by_layer[l].size());
+    for (int64_t i : by_layer[l]) {
+      wr<uint32_t>(fg, MAGICPOINT);
+      wr<uint64_t>(fg, uint64_t(ix.origin[i]));
+      wr<uint8_t>(fg, uint8_t(ix.level[i]));
+      wr<int32_t>(fg, ix.rank[i]);
+      for (uint64_t ll = 0; ll < 16; ++ll) {
+        if (ll >= ix.max_layer) { wr<uint64_t>(fg, 0); continue; }
+        const auto& row = ix.points[i].nbrs[ll];
+        wr<uint64_t>(fg, row.size());
+        for (const auto& e : row) {
+          wr<uint64_t>(fg, uint64_t(ix.origin[e.id]));
+          wr<uint8_t>(fg, uint8_t(ix.level[e.id]));
+          wr<int32_t>(fg, ix.rank[e.id]);
+          wr<float>(fg, e.dist);
+        }
+      }
+      wr<uint32_t>(fd, MAGICDATAP);
+      wr<uint64_t>(fd, uint64_t(ix.origin[i]));
+      wr<uint64_t>(fd, ix.dim * sizeof(T));
+      std::fwrite(ix.vec(i), sizeof(T), ix.dim, fd);
+    }
+  }
+  int64_t ep = ix.entry.load();
+  wr<uint64_t>(fg, uint64_t(ix.origin[ep]));
+  wr<uint8_t>(fg, uint8_t(ix.level[ep]));
+  wr<int32_t>(fg, ix.rank[ep]);
+  std::fclose(fg);
+  std::fclose(fd);
+  return 0;
+}
+
+template <typename T>
+static Index<T>* load_index(std::FILE* fg, std::FILE* fd, uint8_t max_nb_conn,
+                            double scale, uint64_t ef, uint64_t nb_point,
+                            uint64_t dim, Dist dk) {
+  auto* ix = new Index<T>(max_nb_conn, ef, nb_point, 16, dk);
+  ix->scale = scale;
+  ix->dim = dim;
+  ix->data.resize(nb_point * dim);
+  ix->origin.resize(nb_point);
+  ix->level.resize(nb_point);
+  ix->rank.resize(nb_point);
+  struct NRef { uint64_t d_id; uint8_t lv; int32_t rk; float dist; };
+  std::vector<std::vector<std::vector<NRef>>> raw(nb_point);
+  std::vector<std::vector<int64_t>> pid2idx(16);
+  uint8_t nb_layer;
+  if (!rd(fg, &nb_layer)) { delete ix; return nullptr; }
+  // data header
+  uint32_t dmagic; uint64_t ddim;
+  if (!rd(fd, &dmagic) || dmagic != MAGICDATAP || !rd(fd, &ddim) || ddim != dim) {
+    delete ix; return nullptr;
+  }
+  int64_t idx = 0;
+  for (int l = 0; l < nb_layer; ++l) {
+    uint32_t lm; uint64_t cnt;
+    if (!rd(fg, &lm) || lm != MAGICLAYER || !rd(fg, &cnt)) { delete ix; return nullptr; }
+    pid2idx[l].resize(cnt);
+    ix->layer_counts[l] = int64_t(cnt);
+    for (uint64_t r = 0; r < cnt; ++r) {
+      uint32_t pm; uint64_t oid; uint8_t lv; int32_t rk;
+      if (!rd(fg, &pm) || pm != MAGICPOINT || !rd(fg, &oid) || !rd(fg, &lv) ||
+          !rd(fg, &rk) || lv != l || uint64_t(rk) != r) { delete ix; return nullptr; }
+      ix->origin[idx] = int64_t(oid);
+      ix->level[idx] = lv;
+      ix->rank[idx] = rk;
+      pid2idx[l][r] = idx;
+      ix->points[idx].nbrs.resize(ix->max_layer);
+      raw[idx].resize(16);
+      for (int ll = 0; ll < 16; ++ll) {
+        uint64_t nbg;
+        if (!rd(fg, &nbg)) { delete ix; return nullptr; }
+        raw[idx][ll].resize(nbg);
+        for (uint64_t j = 0; j < nbg; ++j) {
+          NRef& nr = raw[idx][ll][j];
+          if (!(rd(fg, &nr.d_id) && rd(fg, &nr.lv) && rd(fg, &nr.rk) &&
+                rd(fg, &nr.dist))) { delete ix; return nullptr; }
+        }
+      }
+      uint32_t dm; uint64_t doid, blen;
+      if (!rd(fd, &dm) || dm != MAGICDATAP || !rd(fd, &doid) || !rd(fd, &blen) ||
+          blen != dim * sizeof(T)) { delete ix; return nullptr; }
+      if (std::fread(ix->data.data() + uint64_t(idx) * dim, sizeof(T), dim, fd)
+          != dim) { delete ix; return nullptr; }
+      ++idx;
+    }
+  }
+  ix->n.store(idx);
+  // pass 2: resolve (layer, rank) -> internal index, sort rows by distance
+  for (int64_t i = 0; i < idx; ++i) {
+    for (uint64_t ll = 0; ll < ix->max_layer; ++ll) {
+      auto& out = ix->points[i].nbrs[ll];
+      for (const auto& nr : raw[i][ll]) {
+        if (nr.lv < 16 && uint64_t(nr.rk) < pid2idx[nr.lv].size())
+          out.push_back({nr.dist, int32_t(pid2idx[nr.lv][nr.rk])});
+      }
+      std::sort(out.begin(), out.end(), link_lt);
+    }
+  }
+  uint64_t ep_oid; uint8_t ep_lv; int32_t ep_rk;
+  if (rd(fg, &ep_oid) && rd(fg, &ep_lv) && rd(fg, &ep_rk) && ep_lv < 16 &&
+      uint64_t(ep_rk) < pid2idx[ep_lv].size())
+    ix->entry.store(pid2idx[ep_lv][ep_rk]);
+  return ix;
+}
+
 static Dist dist_from_name(const char* name) {
   std::string s(name);
   if (s.rfind("Dist", 0) == 0) s = s.substr(4);
@@ -752,6 +935,54 @@ void hnsw_export_meta(void* hv, int64_t* origin, int32_t* level, int32_t* rank) 
     std::memcpy(level, ix->level.data(), size_t(cnt) * sizeof(int32_t));
     std::memcpy(rank, ix->rank.data(), size_t(cnt) * sizeof(int32_t));
   });
+}
+
+int32_t hnsw_file_dump(void* hv, const char* dir, const char* basename) {
+  return dispatch(static_cast<Handle*>(hv),
+                  [&](auto* ix) { return int32_t(dump_index(*ix, dir, basename)); });
+}
+
+// Reload a Full v4 dump; returns a tagged handle of the dumped element type, or
+// NULL on any validation failure (analog of libext.rs generate_loadhnsw!).
+void* hnsw_load(const char* dir, const char* basename) {
+  std::string g = std::string(dir) + "/" + basename + ".hnsw.graph";
+  std::string dp = std::string(dir) + "/" + basename + ".hnsw.data";
+  std::FILE* fg = std::fopen(g.c_str(), "rb");
+  std::FILE* fd = std::fopen(dp.c_str(), "rb");
+  if (!fg || !fd) { if (fg) std::fclose(fg); if (fd) std::fclose(fd); return nullptr; }
+  Handle* out = nullptr;
+  uint32_t magic; uint8_t mode, m, nbl; double scale; uint64_t ef, np_, dim, len;
+  if (rd(fg, &magic) && magic == MAGICDESCR_4 && rd(fg, &mode) && mode == 1 &&
+      rd(fg, &m) && rd(fg, &scale) && rd(fg, &nbl) && rd(fg, &ef) && rd(fg, &np_) &&
+      rd(fg, &dim) && rd(fg, &len) && len <= 256) {
+    std::string dn(len, 0);
+    if (std::fread(dn.data(), 1, len, fg) == len && rd(fg, &len) && len <= 256) {
+      std::string tn(len, 0);
+      if (std::fread(tn.data(), 1, len, fg) == len) {
+        Dist dk = dist_from_name(dn.c_str());
+        if (tn == "f32")
+          out = new Handle{TCode::F32, load_index<float>(fg, fd, m, scale, ef, np_, dim, dk)};
+        else if (tn == "f64")
+          out = new Handle{TCode::F64, load_index<double>(fg, fd, m, scale, ef, np_, dim, dk)};
+        else if (tn == "i32")
+          out = new Handle{TCode::I32, load_index<int32_t>(fg, fd, m, scale, ef, np_, dim, dk)};
+        else if (tn == "u32")
+          out = new Handle{TCode::U32, load_index<uint32_t>(fg, fd, m, scale, ef, np_, dim, dk)};
+        else if (tn == "u16")
+          out = new Handle{TCode::U16, load_index<uint16_t>(fg, fd, m, scale, ef, np_, dim, dk)};
+        else if (tn == "u8")
+          out = new Handle{TCode::U8, load_index<uint8_t>(fg, fd, m, scale, ef, np_, dim, dk)};
+      }
+    }
+  }
+  std::fclose(fg);
+  std::fclose(fd);
+  if (out && !out->ix) { delete out; out = nullptr; }
+  return out;
+}
+
+int32_t hnsw_element_type(void* hv) {
+  return int32_t(static_cast<Handle*>(hv)->t);
 }
 
 void hnsw_export_layer(void* hv, int32_t l, int32_t* ids, float* dists) {

@@ -43,6 +43,18 @@ void hnsw_parallel_search(void* h, const float* qs, uint64_t nq, uint64_t knbn,
                           uint64_t ef, int n_threads, int64_t* out_ids,
                           float* out_d); /* row-major [nq, knbn], -1/inf padded */
 
+/* persistence: reference-format v4 dump/reload (interchangeable with the Python
+ * tier's reader/writer). hnsw_load returns a handle of the dumped element type
+ * (query it with hnsw_element_type: 0=f32 1=f64 2=i32 3=u32 4=u16 5=u8). */
+int32_t hnsw_file_dump(void* h, const char* dir, const char* basename);
+void* hnsw_load(const char* dir, const char* basename);
+int32_t hnsw_element_type(void* h);
+
+/* Typed variants exist for every data-path function: hnsw_init_{f32,f64,i32,u32,
+ * u16,u8}, hnsw_insert_<t>, hnsw_parallel_insert_<t>, hnsw_search_<t>,
+ * hnsw_search_filter_<t>, hnsw_parallel_search_<t>, hnsw_export_data_<t>.
+ * The unsuffixed names below are the f32 instance. */
+
 /* introspection + flat-array export (dense rows, -1/inf padded) */
 uint64_t hnsw_nb_points(void* h);
 uint64_t hnsw_dim(void* h);

@@ -130,3 +130,30 @@ def test_native_typed_elements(native, rng):
         h = nh.to_hnsw()
         assert h.dtype == np.dtype(dt)
         assert h.search(X[5], 1, 16)[0].d_id == 5
+
+
+def test_native_dump_load_roundtrip(native, rng, tmp_path):
+    """Native C ABI dump must reload both natively AND through the Python reader
+    (one on-disk format across tiers)."""
+    from hnsw_tpu.ffi import NativeHnsw
+    from hnsw_tpu import HnswIo
+    X = _data(rng, n=400)
+    nh = native(max_nb_connection=12, max_elements=400, ef_construction=100)
+    nh.parallel_insert(X, np.arange(400), n_threads=2)
+    nh.file_dump(tmp_path, "nativedump")
+    # native -> native
+    r = NativeHnsw.load(tmp_path, "nativedump")
+    assert len(r) == 400
+    ids, dists = r.search(X[7], 3, 32)
+    assert ids[0] == 7
+    # native -> python tier
+    hp = HnswIo(tmp_path, "nativedump").load_hnsw()
+    assert hp.get_nb_point() == 400
+    assert hp.search(X[7], 1, 32)[0].d_id == 7
+    # python graph equality against the exported native graph
+    assert nh.to_hnsw().check_graph_equality(hp)
+    # python -> native direction
+    hp.file_dump(tmp_path, "pydump")
+    r2 = NativeHnsw.load(tmp_path, "pydump")
+    assert len(r2) == 400
+    assert r2.search(X[7], 1, 32)[0][0] == 7
