@@ -141,3 +141,24 @@ def test_uint8_roundtrip(rng, tmp_path):
     for i in range(n):
         np.testing.assert_array_equal(r._data[i], X[r.get_origin_id(i)])
     assert h.check_graph_equality(r)
+
+
+def test_light_dump_and_bad_magic(rng, tmp_path):
+    """Light dumps write but refuse to reload (reference only reloads Full); corrupt
+    magic fails gracefully (analog of the reference's empty-db/bincode tests)."""
+    from hnsw_tpu.io.hnswio import file_dump as fd
+    h, _ = _build(rng, n=40)
+    base = fd(h, tmp_path, "light", mode="Light")
+    with pytest.raises(ValueError):
+        HnswIo(tmp_path, base).load_hnsw()
+    # corrupt magic
+    p = tmp_path / "bad.hnsw.graph"
+    p.write_bytes(b"\x00" * 64)
+    with pytest.raises(ValueError):
+        load_description(p)
+    # truncated file
+    g = tmp_path / (base + ".hnsw.graph")
+    data = g.read_bytes()
+    (tmp_path / "trunc.hnsw.graph").write_bytes(data[:20])
+    with pytest.raises((ValueError, EOFError)):
+        load_description(tmp_path / "trunc.hnsw.graph")
