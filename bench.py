@@ -136,7 +136,7 @@ def main():
 
     # ef sweep to hit the recall floor
     chosen_ef, chosen_recall = None, 0.0
-    for ef in (16, 24, 32, 48, 64, 96, 128, 192, 256, 384, 512):
+    for ef in (16, 24, 32, 48, 64, 72, 80, 96, 128, 192, 256, 384, 512):
         ids, dists = run_batch(ef)
         r = recall_of(ids)
         log(f"[bench] ef={ef}: recall@{k}={r:.4f}")
