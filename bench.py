@@ -45,7 +45,7 @@ def main():
     d = int(os.environ.get("BENCH_D", 128))
     M = int(os.environ.get("BENCH_M", 24))
     efc = int(os.environ.get("BENCH_EFC", 200))
-    BB = int(os.environ.get("BENCH_BATCH", 1024))
+    BB = int(os.environ.get("BENCH_BATCH", 4096))
     QB = int(os.environ.get("BENCH_QBATCH", 4096))
     k = 10
     RECALL_FLOOR = float(os.environ.get("BENCH_RECALL", 0.98))

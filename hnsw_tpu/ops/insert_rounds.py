@@ -370,7 +370,7 @@ def device_parallel_insert(hnsw, pairs, batch_size: Optional[int] = None,
     counts = np.array([int((hnsw._level[:n0] == l).sum()) for l in range(L)], np.int64)
     entry = hnsw._entry
     entry_level = int(hnsw._level[entry])
-    B = int(batch_size) if batch_size else int(min(1024, max(64, npts)))
+    B = int(batch_size) if batch_size else int(min(4096, max(64, npts)))
     metric = hnsw.metric.name
     s = n0
     while s < n_total:
