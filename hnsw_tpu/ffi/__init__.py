@@ -30,6 +30,24 @@ DIST_FN_T = C.CFUNCTYPE(C.c_float, C.POINTER(C.c_float), C.POINTER(C.c_float),
 FILTER_FN_T = C.CFUNCTYPE(C.c_int, C.c_int64)
 
 
+class DescriptionFFI(C.Structure):
+    """C-struct dump header — analog of the reference's ``DescriptionFFI``
+    (``src/libext.rs:1121-1232``). Filled by ``hnsw_load_description``."""
+
+    _fields_ = [
+        ("format_version", C.c_int32),
+        ("dumpmode", C.c_int32),
+        ("max_nb_connection", C.c_int32),
+        ("nb_layer", C.c_int32),
+        ("level_scale", C.c_double),
+        ("ef_construction", C.c_uint64),
+        ("nb_point", C.c_uint64),
+        ("dimension", C.c_uint64),
+        ("distname", C.c_char * 64),
+        ("t_name", C.c_char * 16),
+    ]
+
+
 def _build_so() -> str:
     if (os.path.exists(_SO)
             and os.path.getmtime(_SO) >= os.path.getmtime(_SRC)):
@@ -130,8 +148,25 @@ def native_lib():
         lib.hnsw_load.argtypes = [C.c_char_p, C.c_char_p]
         lib.hnsw_element_type.restype = C.c_int32
         lib.hnsw_element_type.argtypes = [C.c_void_p]
+        lib.hnsw_load_description.restype = C.c_int32
+        lib.hnsw_load_description.argtypes = [C.c_char_p, C.c_char_p,
+                                              C.POINTER(DescriptionFFI)]
+        lib.hnsw_load_graph_only.restype = C.c_void_p
+        lib.hnsw_load_graph_only.argtypes = [C.c_char_p, C.c_char_p]
         _lib = lib
         return lib
+
+
+def load_hnsw_description(path, basename: str) -> DescriptionFFI:
+    """Read a dump header through the C ABI without loading the index — the
+    native-tier analog of the reference's ``load_hnsw_description``
+    (``src/libext.rs:1121-1232``)."""
+    lib = native_lib()
+    d = DescriptionFFI()
+    rc = lib.hnsw_load_description(str(path).encode(), basename.encode(), C.byref(d))
+    if rc != 0:
+        raise IOError(f"native description load failed (rc={rc}) for {path}/{basename}")
+    return d
 
 
 def _fp(a: np.ndarray):
@@ -243,7 +278,8 @@ class NativeHnsw:
     @classmethod
     def load(cls, path, basename: str) -> "NativeHnsw":
         """Reload a Full v4 dump into a native index (C ABI ``hnsw_load``),
-        recovering the dumped element type."""
+        recovering the dumped element type and header metadata (M, efc, distance)
+        so ``to_hnsw()`` on a loaded handle is faithful."""
         lib = native_lib()
         h = lib.hnsw_load(str(path).encode(), basename.encode())
         if not h:
@@ -256,10 +292,37 @@ class NativeHnsw:
                                "uint8"][tcode])
         self._suf = _TYPED[self.dtype.name]
         self.h = h
-        self.M = 0  # populated lazily from the header by callers that need it
-        self.max_layer = 16
-        self.ef_construction = 0
-        self.dist_name = "L2"
+        d = load_hnsw_description(path, basename)
+        from ..io.hnswio import short_dist_name
+        self.M = d.max_nb_connection
+        self.max_layer = d.nb_layer
+        self.ef_construction = d.ef_construction
+        self.dist_name = short_dist_name(d.distname.decode())
+        return self
+
+    @classmethod
+    def load_graph_only(cls, path, basename: str) -> "NativeHnsw":
+        """NoData reload through the C ABI: topology + metadata, no vectors
+        (reference ``libext.rs:446-451``). Searching returns 0 results; exports,
+        meta introspection, and ``to_hnsw()`` (graph-only) work."""
+        lib = native_lib()
+        h = lib.hnsw_load_graph_only(str(path).encode(), basename.encode())
+        if not h:
+            raise IOError(f"native graph-only load failed for {path}/{basename}")
+        self = cls.__new__(cls)
+        self.lib = lib
+        self._keepalive = []
+        tcode = int(lib.hnsw_element_type(h))
+        self.dtype = np.dtype(["float32", "float64", "int32", "uint32", "uint16",
+                               "uint8"][tcode])
+        self._suf = _TYPED[self.dtype.name]
+        self.h = h
+        d = load_hnsw_description(path, basename)
+        self.M = d.max_nb_connection
+        self.max_layer = d.nb_layer
+        self.ef_construction = d.ef_construction
+        from ..io.hnswio import short_dist_name
+        self.dist_name = short_dist_name(d.distname.decode())
         return self
 
     # ----------------------------------------------------- zero-copy TPU handoff -----

@@ -249,12 +249,23 @@ struct Index {
     if (dim == 0) dim = d_;
     int64_t i = n.load();
     grow(size_t(i) + 1);
-    data.resize(size_t(i + 1) * dim);
+    // Indexed writes into pre-sized storage: parallel_insert resizes these vectors
+    // to their FINAL size up front (under this same lock), so during the threaded
+    // phase no vector reallocates or mutates its size while other threads read
+    // elements through vec()/level[] — size-member races were latent UB on real
+    // multi-core hardware even when reserve() prevented reallocation.
+    size_t need = size_t(i) + 1;
+    if (data.size() < need * dim) data.resize(need * dim);
+    if (origin.size() < need) {
+      origin.resize(need);
+      level.resize(need);
+      rank.resize(need);
+    }
     std::memcpy(data.data() + size_t(i) * dim, v, dim * sizeof(T));
     int lv = forced_level >= 0 ? forced_level : sample_level();
-    origin.push_back(oid);
-    level.push_back(lv);
-    rank.push_back(int32_t(layer_counts[lv]));
+    origin[i] = oid;
+    level[i] = lv;
+    rank[i] = int32_t(layer_counts[lv]);
     layer_counts[lv] += 1;
     points[i].nbrs.resize(max_layer);
     n.store(i + 1);
@@ -425,13 +436,16 @@ struct Index {
     {
       std::lock_guard<std::mutex> g(alloc_lock);
       for (uint64_t i = 0; i < count; ++i) lvls[i] = sample_level();
-      // pre-grow so no reallocation happens under concurrency
-      grow(size_t(n.load()) + count);
+      // pre-SIZE (not reserve) every growable array to its final extent so the
+      // threaded phase performs only element writes — allocate() then never
+      // resizes, eliminating both reallocation and size-member data races
+      size_t total = size_t(n.load()) + count;
+      grow(total);
       if (dim == 0) dim = d_;
-      data.reserve((size_t(n.load()) + count) * dim);
-      origin.reserve(origin.size() + count);
-      level.reserve(level.size() + count);
-      rank.reserve(rank.size() + count);
+      data.resize(total * dim);
+      origin.resize(total);
+      level.resize(total);
+      rank.resize(total);
     }
     std::atomic<uint64_t> next{0};
     auto worker = [&]() {
@@ -453,6 +467,7 @@ struct Index {
     out.clear();
     int64_t ep = entry.load();
     if (ep < 0) return 0;
+    if (data.size() < uint64_t(n.load()) * dim) return 0;  // graph-only (NoData) load
     float d_ep = dist(q, vec(ep), dim);
     int64_t pivot = ep;
     for (int layer = level[ep]; layer >= 1; --layer) {
@@ -561,6 +576,8 @@ struct Index {
 // hnsw_tpu/io/hnswio.py and SURVEY.md §2.5). Little-endian, usize = u64.
 
 constexpr uint32_t MAGICPOINT = 0x000a678f;
+constexpr uint32_t MAGICDESCR_2 = 0x002a677f;
+constexpr uint32_t MAGICDESCR_3 = 0x002a6771;
 constexpr uint32_t MAGICDESCR_4 = 0x002a6779;
 constexpr uint32_t MAGICLAYER = 0x000a676f;
 constexpr uint32_t MAGICDATAP = 0xa67f0000;
@@ -603,6 +620,8 @@ static int dump_index(Index<T>& ix, const char* dir, const char* basename) {
   if (!fg || !fd) { if (fg) std::fclose(fg); if (fd) std::fclose(fd); return -1; }
   int64_t n = ix.n.load();
   if (n == 0 || ix.entry.load() < 0) { std::fclose(fg); std::fclose(fd); return -2; }
+  // header stores M as u8; reject instead of truncating (reference hnsw.rs:823 casts)
+  if (ix.M > 255) { std::fclose(fg); std::fclose(fd); return -3; }
   // description header
   wr<uint32_t>(fg, MAGICDESCR_4);
   wr<uint8_t>(fg, 1);  // Full
@@ -663,14 +682,53 @@ static int dump_index(Index<T>& ix, const char* dir, const char* basename) {
   return 0;
 }
 
+// Parsed dump header (v3/v4) — the C-side analog of the Python tier's
+// read_description (io/hnswio.py) and the reference's Description
+// (src/hnswio.rs:846-930).
+struct DumpHeader {
+  int32_t version = 0;
+  uint8_t mode = 0;
+  uint8_t m = 0;
+  double scale = 0.0;
+  uint8_t nb_layer = 0;
+  uint64_t ef = 0, nb_point = 0, dim = 0;
+  std::string distname, t_name;
+};
+
+static bool parse_header(std::FILE* fg, DumpHeader& h) {
+  uint32_t magic;
+  uint64_t len;
+  if (!rd(fg, &magic)) return false;
+  if (magic == MAGICDESCR_4) h.version = 4;
+  else if (magic == MAGICDESCR_3) h.version = 3;
+  else if (magic == MAGICDESCR_2) h.version = 2;
+  else return false;
+  if (!rd(fg, &h.mode) || !rd(fg, &h.m)) return false;
+  if (h.version == 4) {
+    if (!rd(fg, &h.scale)) return false;
+  } else {
+    h.scale = 1.0 / std::log(std::max<double>(h.m, 2.0));
+  }
+  if (!(rd(fg, &h.nb_layer) && rd(fg, &h.ef) && rd(fg, &h.nb_point) &&
+        rd(fg, &h.dim) && rd(fg, &len) && len <= 256)) return false;
+  h.distname.resize(len);
+  if (std::fread(h.distname.data(), 1, len, fg) != len) return false;
+  if (!rd(fg, &len) || len > 256) return false;
+  h.t_name.resize(len);
+  return std::fread(h.t_name.data(), 1, len, fg) == len;
+}
+
+// fd == nullptr => graph-only (NoData) load: topology + metadata, no vectors
+// (analog of the reference's NoData reload, libext.rs:446-451). v2 dumps carry
+// bincode-serialized data records (u64 element count + raw LE elements).
 template <typename T>
 static Index<T>* load_index(std::FILE* fg, std::FILE* fd, uint8_t max_nb_conn,
                             double scale, uint64_t ef, uint64_t nb_point,
-                            uint64_t dim, Dist dk) {
+                            uint64_t dim, Dist dk, int version = 4) {
   auto* ix = new Index<T>(max_nb_conn, ef, nb_point, 16, dk);
   ix->scale = scale;
   ix->dim = dim;
-  ix->data.resize(nb_point * dim);
+  if (fd) ix->data.resize(nb_point * dim);
   ix->origin.resize(nb_point);
   ix->level.resize(nb_point);
   ix->rank.resize(nb_point);
@@ -680,9 +738,11 @@ static Index<T>* load_index(std::FILE* fg, std::FILE* fd, uint8_t max_nb_conn,
   uint8_t nb_layer;
   if (!rd(fg, &nb_layer)) { delete ix; return nullptr; }
   // data header
-  uint32_t dmagic; uint64_t ddim;
-  if (!rd(fd, &dmagic) || dmagic != MAGICDATAP || !rd(fd, &ddim) || ddim != dim) {
-    delete ix; return nullptr;
+  if (fd) {
+    uint32_t dmagic; uint64_t ddim;
+    if (!rd(fd, &dmagic) || dmagic != MAGICDATAP || !rd(fd, &ddim) || ddim != dim) {
+      delete ix; return nullptr;
+    }
   }
   int64_t idx = 0;
   for (int l = 0; l < nb_layer; ++l) {
@@ -710,11 +770,18 @@ static Index<T>* load_index(std::FILE* fg, std::FILE* fd, uint8_t max_nb_conn,
                 rd(fg, &nr.dist))) { delete ix; return nullptr; }
         }
       }
-      uint32_t dm; uint64_t doid, blen;
-      if (!rd(fd, &dm) || dm != MAGICDATAP || !rd(fd, &doid) || !rd(fd, &blen) ||
-          blen != dim * sizeof(T)) { delete ix; return nullptr; }
-      if (std::fread(ix->data.data() + uint64_t(idx) * dim, sizeof(T), dim, fd)
-          != dim) { delete ix; return nullptr; }
+      if (fd) {
+        uint32_t dm; uint64_t doid, blen;
+        uint64_t want = dim * sizeof(T) + (version == 2 ? 8 : 0);
+        if (!rd(fd, &dm) || dm != MAGICDATAP || !rd(fd, &doid) || !rd(fd, &blen) ||
+            blen != want) { delete ix; return nullptr; }
+        if (version == 2) {  // skip the bincode Vec<T> element-count prefix
+          uint64_t cnt;
+          if (!rd(fd, &cnt) || cnt != dim) { delete ix; return nullptr; }
+        }
+        if (std::fread(ix->data.data() + uint64_t(idx) * dim, sizeof(T), dim, fd)
+            != dim) { delete ix; return nullptr; }
+      }
       ++idx;
     }
   }
@@ -831,7 +898,9 @@ extern "C" {
   }                                                                                    \
   void hnsw_export_data_##SUF(void* h, CT* out) {                                      \
     auto* ix = static_cast<Index<CT>*>(static_cast<Handle*>(h)->ix);                   \
-    std::memcpy(out, ix->data.data(), size_t(ix->n.load()) * ix->dim * sizeof(CT));    \
+    size_t want = size_t(ix->n.load()) * ix->dim;                                      \
+    if (ix->data.size() >= want) /* graph-only loads have no data */                   \
+      std::memcpy(out, ix->data.data(), want * sizeof(CT));                            \
   }
 
 HNSW_TYPED_ABI(f32, float, TCode::F32)
@@ -942,43 +1011,85 @@ int32_t hnsw_file_dump(void* hv, const char* dir, const char* basename) {
                   [&](auto* ix) { return int32_t(dump_index(*ix, dir, basename)); });
 }
 
-// Reload a Full v4 dump; returns a tagged handle of the dumped element type, or
+// Reload a Full v3/v4 dump; returns a tagged handle of the dumped element type, or
 // NULL on any validation failure (analog of libext.rs generate_loadhnsw!).
-void* hnsw_load(const char* dir, const char* basename) {
+// with_data = 0 skips the data file entirely (NoData reload).
+static void* load_dump(const char* dir, const char* basename, int with_data) {
   std::string g = std::string(dir) + "/" + basename + ".hnsw.graph";
   std::string dp = std::string(dir) + "/" + basename + ".hnsw.data";
   std::FILE* fg = std::fopen(g.c_str(), "rb");
-  std::FILE* fd = std::fopen(dp.c_str(), "rb");
-  if (!fg || !fd) { if (fg) std::fclose(fg); if (fd) std::fclose(fd); return nullptr; }
+  if (!fg) return nullptr;
+  std::FILE* fd = nullptr;
+  if (with_data) {
+    fd = std::fopen(dp.c_str(), "rb");
+    if (!fd) { std::fclose(fg); return nullptr; }
+  }
   Handle* out = nullptr;
-  uint32_t magic; uint8_t mode, m, nbl; double scale; uint64_t ef, np_, dim, len;
-  if (rd(fg, &magic) && magic == MAGICDESCR_4 && rd(fg, &mode) && mode == 1 &&
-      rd(fg, &m) && rd(fg, &scale) && rd(fg, &nbl) && rd(fg, &ef) && rd(fg, &np_) &&
-      rd(fg, &dim) && rd(fg, &len) && len <= 256) {
-    std::string dn(len, 0);
-    if (std::fread(dn.data(), 1, len, fg) == len && rd(fg, &len) && len <= 256) {
-      std::string tn(len, 0);
-      if (std::fread(tn.data(), 1, len, fg) == len) {
-        Dist dk = dist_from_name(dn.c_str());
-        if (tn == "f32")
-          out = new Handle{TCode::F32, load_index<float>(fg, fd, m, scale, ef, np_, dim, dk)};
-        else if (tn == "f64")
-          out = new Handle{TCode::F64, load_index<double>(fg, fd, m, scale, ef, np_, dim, dk)};
-        else if (tn == "i32")
-          out = new Handle{TCode::I32, load_index<int32_t>(fg, fd, m, scale, ef, np_, dim, dk)};
-        else if (tn == "u32")
-          out = new Handle{TCode::U32, load_index<uint32_t>(fg, fd, m, scale, ef, np_, dim, dk)};
-        else if (tn == "u16")
-          out = new Handle{TCode::U16, load_index<uint16_t>(fg, fd, m, scale, ef, np_, dim, dk)};
-        else if (tn == "u8")
-          out = new Handle{TCode::U8, load_index<uint8_t>(fg, fd, m, scale, ef, np_, dim, dk)};
-      }
-    }
+  DumpHeader h;
+  if (parse_header(fg, h) && h.mode == 1) {
+    Dist dk = dist_from_name(h.distname.c_str());
+    const std::string& tn = h.t_name;
+    if (tn == "f32")
+      out = new Handle{TCode::F32, load_index<float>(fg, fd, h.m, h.scale, h.ef, h.nb_point, h.dim, dk, h.version)};
+    else if (tn == "f64")
+      out = new Handle{TCode::F64, load_index<double>(fg, fd, h.m, h.scale, h.ef, h.nb_point, h.dim, dk, h.version)};
+    else if (tn == "i32")
+      out = new Handle{TCode::I32, load_index<int32_t>(fg, fd, h.m, h.scale, h.ef, h.nb_point, h.dim, dk, h.version)};
+    else if (tn == "u32")
+      out = new Handle{TCode::U32, load_index<uint32_t>(fg, fd, h.m, h.scale, h.ef, h.nb_point, h.dim, dk, h.version)};
+    else if (tn == "u16")
+      out = new Handle{TCode::U16, load_index<uint16_t>(fg, fd, h.m, h.scale, h.ef, h.nb_point, h.dim, dk, h.version)};
+    else if (tn == "u8")
+      out = new Handle{TCode::U8, load_index<uint8_t>(fg, fd, h.m, h.scale, h.ef, h.nb_point, h.dim, dk, h.version)};
   }
   std::fclose(fg);
-  std::fclose(fd);
+  if (fd) std::fclose(fd);
   if (out && !out->ix) { delete out; out = nullptr; }
   return out;
+}
+
+void* hnsw_load(const char* dir, const char* basename) {
+  return load_dump(dir, basename, 1);
+}
+
+void* hnsw_load_graph_only(const char* dir, const char* basename) {
+  return load_dump(dir, basename, 0);
+}
+
+// must stay layout-identical to hnsw_description in hnsw_tpu.h
+typedef struct {
+  int32_t format_version;
+  int32_t dumpmode;
+  int32_t max_nb_connection;
+  int32_t nb_layer;
+  double level_scale;
+  uint64_t ef_construction;
+  uint64_t nb_point;
+  uint64_t dimension;
+  char distname[64];
+  char t_name[16];
+} hnsw_description;
+
+int32_t hnsw_load_description(const char* dir, const char* basename,
+                              hnsw_description* out) {
+  std::string g = std::string(dir) + "/" + basename + ".hnsw.graph";
+  std::FILE* fg = std::fopen(g.c_str(), "rb");
+  if (!fg) return -1;
+  DumpHeader h;
+  bool ok = parse_header(fg, h);
+  std::fclose(fg);
+  if (!ok || !out) return -2;
+  out->format_version = h.version;
+  out->dumpmode = h.mode;
+  out->max_nb_connection = h.m;
+  out->nb_layer = h.nb_layer;
+  out->level_scale = h.scale;
+  out->ef_construction = h.ef;
+  out->nb_point = h.nb_point;
+  out->dimension = h.dim;
+  std::snprintf(out->distname, sizeof(out->distname), "%s", h.distname.c_str());
+  std::snprintf(out->t_name, sizeof(out->t_name), "%s", h.t_name.c_str());
+  return 0;
 }
 
 int32_t hnsw_element_type(void* hv) {

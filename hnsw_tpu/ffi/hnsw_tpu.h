@@ -50,6 +50,29 @@ int32_t hnsw_file_dump(void* h, const char* dir, const char* basename);
 void* hnsw_load(const char* dir, const char* basename);
 int32_t hnsw_element_type(void* h);
 
+/* Dump-header introspection without loading the index (analog of the reference's
+ * load_hnsw_description + DescriptionFFI, libext.rs:1121-1232). Returns 0 on
+ * success, negative on open/parse failure. Accepts format v3 and v4. */
+typedef struct {
+  int32_t format_version; /* 3 or 4 */
+  int32_t dumpmode;       /* 1 = Full, 0 = Light */
+  int32_t max_nb_connection;
+  int32_t nb_layer;
+  double level_scale;
+  uint64_t ef_construction;
+  uint64_t nb_point;
+  uint64_t dimension;
+  char distname[64]; /* NUL-terminated, truncated if longer */
+  char t_name[16];   /* "f32","f64","i32","u32","u16","u8" */
+} hnsw_description;
+int32_t hnsw_load_description(const char* dir, const char* basename,
+                              hnsw_description* out);
+
+/* Graph-only (NoData) reload: topology + metadata without reading the data file
+ * (analog of the reference's NoData reload, libext.rs:446-451). Searching a
+ * graph-only handle returns 0 results; exports/meta/dump work. */
+void* hnsw_load_graph_only(const char* dir, const char* basename);
+
 /* Typed variants exist for every data-path function: hnsw_init_{f32,f64,i32,u32,
  * u16,u8}, hnsw_insert_<t>, hnsw_parallel_insert_<t>, hnsw_search_<t>,
  * hnsw_search_filter_<t>, hnsw_parallel_search_<t>, hnsw_export_data_<t>.

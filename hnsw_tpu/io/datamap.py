@@ -73,6 +73,12 @@ class DataMap:
     def ids(self) -> np.ndarray:
         return self._ids
 
+    def lazy_data(self, perm: np.ndarray, cap: int, threshold: int = 0) -> "LazyMmapData":
+        """A :class:`LazyMmapData` over this map: ``perm[i]`` is the file record
+        ordinal serving internal index ``i``."""
+        return LazyMmapData(self.strided_view(), perm, cap, self.dtype,
+                            threshold=threshold)
+
     def strided_view(self) -> np.ndarray:
         """The whole file as a ``[N, dim]`` array in file order — zero-copy (a strided
         view over the mmap) whenever the record header is aligned for the dtype
@@ -90,3 +96,109 @@ class DataMap:
         for k, i in enumerate(self._ids):
             out[k] = self.get_data(int(i))
         return out
+
+class LazyMmapData:
+    """ndarray-like vector store for mmap-backed reloads — the reference's partial
+    residency policy (``src/hnswio.rs:675-692``, policy note ``Changes.md:36-37``):
+    the bulk of the corpus stays on the memory map (the OS page cache decides actual
+    residency), and only the last ``threshold`` dumped records — upper layers dump
+    last, so they stay hot — plus any rows written after reload live in a RAM overlay.
+
+    Supports every access pattern the engine uses on ``Hnsw._data``: int reads
+    (zero-copy rows off the map), slice / fancy-index gathers (only the touched
+    records are paged in), int row writes (post-reload inserts), and capacity growth.
+    """
+
+    def __init__(self, view: np.ndarray, perm: np.ndarray, cap: int, dtype,
+                 threshold: int = 0):
+        self.dtype = np.dtype(dtype)
+        self._view = view  # [nrec, dim] strided over the mmap, file order
+        self._dim = int(view.shape[1])
+        n = len(perm)
+        self._perm = np.full(max(int(cap), n), -1, np.int64)
+        self._perm[:n] = perm
+        self._overlay: dict[int, np.ndarray] = {}
+        if threshold > 0:
+            lo = max(0, view.shape[0] - int(threshold))
+            for idx in np.flatnonzero(perm >= lo):
+                self._overlay[int(idx)] = np.array(view[perm[idx]], self.dtype)
+
+    @property
+    def shape(self):
+        return (self._perm.shape[0], self._dim)
+
+    @property
+    def ndim(self):
+        return 2
+
+    def __len__(self):
+        return self._perm.shape[0]
+
+    @property
+    def resident_rows(self) -> int:
+        """Rows materialized in RAM (threshold residents + post-reload writes)."""
+        return len(self._overlay)
+
+    def grow(self, new_cap: int):
+        if new_cap <= self._perm.shape[0]:
+            return
+        pad = np.full(new_cap - self._perm.shape[0], -1, np.int64)
+        self._perm = np.concatenate([self._perm, pad])
+
+    def __getitem__(self, key):
+        if isinstance(key, slice):
+            start, stop, step = key.indices(self._perm.shape[0])
+            if step == 1:
+                p = self._perm[start:stop]
+                out = np.zeros((stop - start, self._dim), self.dtype)
+                ok = p >= 0
+                out[ok] = self._view[p[ok]]
+                for i, row in self._overlay.items():
+                    if start <= i < stop:
+                        out[i - start] = row
+                return out
+            key = np.arange(start, stop, step)
+        idxs = np.asarray(key)
+        if idxs.ndim == 0:
+            i = int(idxs)
+            if i < 0:
+                i += self._perm.shape[0]
+            row = self._overlay.get(i)
+            if row is not None:
+                return row
+            p = int(self._perm[i])
+            if p < 0:
+                return np.zeros(self._dim, self.dtype)
+            return self._view[p]
+        idxs = idxs.astype(np.int64)
+        p = self._perm[idxs]
+        out = np.zeros((len(idxs), self._dim), self.dtype)
+        ok = p >= 0
+        out[ok] = self._view[p[ok]]
+        if self._overlay:
+            flat = idxs.ravel()
+            for j, i in enumerate(flat):
+                row = self._overlay.get(int(i))
+                if row is not None:
+                    out[j] = row
+        return out
+
+    def __setitem__(self, key, value):
+        idxs = np.asarray(key)
+        if idxs.ndim == 0:
+            i = int(idxs)
+            if i < 0:
+                i += self._perm.shape[0]
+            self._overlay[i] = np.array(value, self.dtype).reshape(self._dim)
+            return
+        if isinstance(key, slice):
+            idxs = np.arange(*key.indices(self._perm.shape[0]))
+        idxs = idxs.astype(np.int64).ravel()
+        rows = np.broadcast_to(np.asarray(value, self.dtype),
+                               (len(idxs), self._dim))
+        for j, i in enumerate(idxs):
+            self._overlay[int(i)] = np.array(rows[j])
+
+    def __array__(self, dtype=None, copy=None):
+        out = self[0:self._perm.shape[0]]
+        return out.astype(dtype) if dtype is not None else out

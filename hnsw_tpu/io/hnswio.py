@@ -97,6 +97,10 @@ def _r(f, fmt):
 
 
 def write_description(f, d: Description):
+    if not (0 < d.max_nb_connection <= 255):
+        # the header stores M as a u8; the reference silently truncates 256 -> 0
+        # (``src/hnsw.rs:823-825`` casts ``as u8``) — we reject instead
+        raise ValueError("max_nb_connection must be in [1, 255] to dump (u8 header field)")
     _w(f, "I", MAGICDESCR_4)
     _w(f, "B", d.dumpmode)
     _w(f, "B", d.max_nb_connection)
@@ -117,11 +121,9 @@ def write_description(f, d: Description):
 
 def read_description(f) -> Description:
     (magic,) = _r(f, "I")
-    if magic not in (MAGICDESCR_3, MAGICDESCR_4):
-        if magic == MAGICDESCR_2:
-            raise ValueError("format v2 (bincode) dumps are not supported")
+    if magic not in (MAGICDESCR_2, MAGICDESCR_3, MAGICDESCR_4):
         raise ValueError(f"bad description magic 0x{magic:08x}")
-    version = 4 if magic == MAGICDESCR_4 else 3
+    version = {MAGICDESCR_2: 2, MAGICDESCR_3: 3, MAGICDESCR_4: 4}[magic]
     (dumpmode,) = _r(f, "B")
     (max_nb_connection,) = _r(f, "B")
     level_scale = _r(f, "d")[0] if version == 4 else 1.0 / np.log(max(max_nb_connection, 2))
@@ -283,7 +285,12 @@ class HnswIo:
             hnsw.extend_candidates = True
             hnsw.keep_pruned = False
             if descr.dimension > 0:
-                hnsw._set_dim(descr.dimension)
+                if self.options.datamap and not graph_only:
+                    # _data becomes a lazy mmap view in _load_data — don't
+                    # materialize a [cap, dim] dense array just to throw it away
+                    hnsw._dim = int(descr.dimension)
+                else:
+                    hnsw._set_dim(descr.dimension)
             hnsw._ensure_cap(descr.nb_point)
             (nb_layer,) = _r(g, "B")
             pid_to_idx: dict[tuple[int, int], int] = {}
@@ -348,17 +355,22 @@ class HnswIo:
 
     def _load_data(self, hnsw: Hnsw, dpath: str, descr: Description):
         from .datamap import DataMap
+        if self.options.datamap and descr.format_version == 2:
+            raise ValueError("datamap reload needs fixed-size records (format >= 3); "
+                             "v2 bincode data records carry a length prefix")
         if self.options.datamap:
             dm = DataMap(self.dir, self.basename, dtype=hnsw.dtype)
             self._mmap = dm
-            view = dm.strided_view()
             order = {int(o): k for k, o in enumerate(dm.ids())}
             n = hnsw._nb_point
-            # residency policy: the last `threshold` records stay a RAM copy; with a
-            # strided mmap view the page cache already does this, so we simply point
-            # _data at the view re-ordered to internal index order.
             perm = np.fromiter((order[int(hnsw._origin[i])] for i in range(n)), np.int64, n)
-            hnsw._data[:n] = view[perm]  # materialize in index order (simple + safe)
+            # partial residency (reference src/hnswio.rs:675-692): _data becomes a
+            # lazy view over the mmap; only the last `threshold` records (upper
+            # layers, dumped last) are materialized in RAM, searches/uploads read
+            # through the map, and post-reload inserts land in a RAM overlay.
+            hnsw._data = dm.lazy_data(perm, hnsw._cap,
+                                      threshold=self.options.mmap_threshold)
+            hnsw.set_datamap(True)
             return
         with open(dpath, "rb") as f:
             (magic,) = _r(f, "I")
@@ -375,7 +387,14 @@ class HnswIo:
                 (origin,) = _r(f, "Q")
                 (blen,) = _r(f, "Q")
                 raw = f.read(blen)
-                by_origin[origin] = np.frombuffer(raw, dtype=hnsw.dtype)
+                if descr.format_version == 2:
+                    # v2 data records are bincode-serialized Vec<T>: u64 element
+                    # count + raw LE elements (reference src/hnswio.rs:1156-1172)
+                    (cnt,) = struct.unpack_from("<Q", raw, 0)
+                    by_origin[origin] = np.frombuffer(raw, dtype=hnsw.dtype,
+                                                      count=cnt, offset=8)
+                else:
+                    by_origin[origin] = np.frombuffer(raw, dtype=hnsw.dtype)
             n = hnsw._nb_point
             for i in range(n):
                 hnsw._data[i] = by_origin[int(hnsw._origin[i])]

@@ -223,7 +223,11 @@ class Hnsw:
         while new_cap < need:
             new_cap *= 2
         if self._data is not None:
-            self._data = np.concatenate([self._data, np.zeros((new_cap - self._cap, self._dim), self.dtype)])
+            if isinstance(self._data, np.ndarray):
+                self._data = np.concatenate(
+                    [self._data, np.zeros((new_cap - self._cap, self._dim), self.dtype)])
+            else:  # LazyMmapData (mmap-backed reload) grows its permutation only
+                self._data.grow(new_cap)
         for a_name in ("_origin", "_level", "_rank_in_layer"):
             old = getattr(self, a_name)
             pad = np.full(new_cap - self._cap, -1, old.dtype)
@@ -280,17 +284,23 @@ class Hnsw:
         table = self._layers.get(layer)
         d0 = float(self.metric.np_batch(q, self._data[ep][None, :])[0])
         visited = {ep}
-        candidates = [(d0, ep)]  # min-heap on distance
+        candidates = [(d0, ep)]  # min-heap on distance to q
         results = [(-d0, ep)]  # max-heap via negation, capped at ef
         while candidates:
             c_d, c = heapq.heappop(candidates)
-            f_d = -results[0][0]
-            if c_d > f_d:
+            if not results:
+                # every retained result was filtered away and nothing refilled —
+                # the reference bails out of the scan in this state (src/hnsw.rs:1023-1029)
+                return results
+            if c_d > -results[0][0]:
+                # c is farther than the worst retained result ("fast return" check)
                 if filt is None:
                     break
-                elif len(results) >= ef:
-                    # reference retains only filter-passing results and keeps scanning
-                    results = [(nd, i) for (nd, i) in results if filt(int(self._origin[i]))]
+                if len(results) >= ef:
+                    # filtered mode: retain only filter-passing results and KEEP
+                    # scanning — later candidates may refill (src/hnsw.rs:993-1002)
+                    results = [(nd, i) for (nd, i) in results
+                               if filt(int(self._origin[i]))]
                     heapq.heapify(results)
             if table is None:
                 continue
@@ -299,23 +309,23 @@ class Hnsw:
             if not fresh:
                 continue
             visited.update(fresh)
-            if not results:
-                return results
             e_dists = self._dists_to(q, np.array(fresh, dtype=np.int64))
             for e, e_d in zip(fresh, e_dists):
-                e_d = float(e_d)
-                f_d = -results[0][0] if results else np.inf
                 if not results:
-                    return results
-                if e_d < f_d or len(results) < ef:
+                    return results  # src/hnsw.rs:1023-1029
+                e_d = float(e_d)
+                if e_d < -results[0][0] or len(results) < ef:
                     heapq.heappush(candidates, (e_d, e))
                     if filt is None:
                         heapq.heappush(results, (-e_d, e))
-                    else:
-                        if filt(int(self._origin[e])):
-                            if len(results) == 1 and not filt(int(self._origin[results[0][1]])):
-                                results.clear()
-                            heapq.heappush(results, (-e_d, e))
+                    elif filt(int(self._origin[e])):
+                        # if the sole retained result is only there as the seed and
+                        # fails the filter, evict it for the first passing point
+                        # (src/hnsw.rs:1040-1048)
+                        if (len(results) == 1
+                                and not filt(int(self._origin[results[0][1]]))):
+                            results.clear()
+                        heapq.heappush(results, (-e_d, e))
                     if len(results) > ef:
                         heapq.heappop(results)
         return results

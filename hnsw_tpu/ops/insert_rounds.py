@@ -318,6 +318,130 @@ _round_step = partial(jax.jit, static_argnames=("cfg",), donate_argnums=(3,))(ro
 
 # ------------------------------------------------------------------ host driver ------
 
+class HostBuildState:
+    """Host-side bookkeeping for one index's device build: allocates the new points'
+    host rows, materializes the numpy device-state arrays, schedules rounds, and
+    flushes device tables back into the ``Hnsw``. Shared by the single-chip driver
+    (``device_parallel_insert``) and the mesh data-parallel driver
+    (``parallel.sharded.ShardedHnsw``), which stacks one state per shard."""
+
+    def __init__(self, hnsw, pairs, L: Optional[int] = None,
+                 widths: Optional[tuple] = None, cap1: Optional[int] = None):
+        self.hnsw = hnsw
+        n0 = hnsw._nb_point
+        npts = len(pairs)
+        new_levels = hnsw.level_sampler.generate(npts)
+        if pairs:
+            hnsw._set_dim(len(pairs[0][0]))
+        hnsw._ensure_cap(n0 + npts)
+        for k, ((v, oid), lvl) in enumerate(zip(pairs, new_levels)):
+            i = n0 + k
+            hnsw._data[i] = np.asarray(v, dtype=hnsw.dtype)
+            hnsw._origin[i] = oid
+            hnsw._level[i] = lvl
+            hnsw._rank_in_layer[i] = hnsw._layer_npoints[lvl]
+            hnsw._layer_npoints[lvl] += 1
+        self.n0 = n0
+        self.n_total = n0 + npts
+        self.L = L if L is not None else (
+            max(max(hnsw._layers.keys(), default=0), int(new_levels.max(initial=0)),
+                int(hnsw._level[:n0].max(initial=0))) + 1)
+        self.widths = widths if widths is not None else tuple(
+            hnsw._layer_width(l) for l in range(self.L))
+        self.cap1 = cap1 if cap1 is not None else ((self.n_total + 7) // 8) * 8 + 1
+        self.counts = np.array([int((hnsw._level[:n0] == l).sum())
+                                for l in range(self.L)], np.int64)
+        self.entry = hnsw._entry
+        self.entry_level = int(hnsw._level[self.entry]) if self.entry >= 0 else 0
+        self.cursor = n0
+
+    def conform(self, L: int, widths: tuple, cap1: int):
+        """Adopt shared static geometry — mesh builds stack several states into one
+        jitted data-parallel program, which needs identical shapes across shards."""
+        assert L >= self.L and cap1 >= self.cap1
+        if L > self.L:
+            self.counts = np.concatenate([self.counts,
+                                          np.zeros(L - self.L, np.int64)])
+        self.L, self.widths, self.cap1 = int(L), tuple(widths), int(cap1)
+
+    # -- numpy device-state arrays (callers device_put / stack + shard these) --------
+
+    def vec_np(self) -> np.ndarray:
+        h = self.hnsw
+        vec = np.zeros((self.cap1, h._dim), np.float32)
+        vec[: self.n_total] = h._data[: self.n_total].astype(np.float32)
+        return vec
+
+    def levels_np(self) -> np.ndarray:
+        lv = np.full(self.cap1, -1, np.int32)
+        lv[: self.n_total] = self.hnsw._level[: self.n_total]
+        return lv
+
+    def tables_np(self) -> list:
+        h = self.hnsw
+        out = []
+        for l in range(self.L):
+            ids = np.full((self.cap1, self.widths[l]), -1, np.int32)
+            dd = np.full((self.cap1, self.widths[l]), np.inf, np.float32)
+            t = h._layers.get(l)
+            if t is not None:
+                ids[: self.n0, : t.width] = t.ids[: self.n0]
+                dd[: self.n0, : t.width] = t.dists[: self.n0]
+            out.append((ids, dd))
+        return out
+
+    # -- round scheduling -------------------------------------------------------------
+
+    @property
+    def remaining(self) -> int:
+        return self.n_total - self.cursor
+
+    def ramp(self, B: int) -> int:
+        """Cold-start ramp: a round may not exceed the number of points already in
+        the graph, else early points all link to the few seeds, whose rows can only
+        absorb ``width`` backlinks, stranding the rest unreachable. Geometric growth
+        (8, 16, ... B) costs log2(B) extra rounds and bounds recompiles."""
+        return int(min(B, _next_pow2(max(8, self.cursor))))
+
+    def round_batch(self, Br: int):
+        """Take (up to) ``Br`` points for the next round. Returns (bidx [Br] int32
+        sink-padded and sorted level-descending, n_hi) and advances bookkeeping."""
+        h = self.hnsw
+        s = self.cursor
+        e = min(s + Br, self.n_total)
+        bidx = np.full(Br, self.cap1 - 1, np.int32)  # pad -> sink (level -1, inactive)
+        round_levels = h._level[s:e]
+        # sort the round by level descending: level>=1 points form the static B1
+        # prefix that upper-layer construction operates on
+        order = np.argsort(-round_levels, kind="stable")
+        bidx[: e - s] = np.arange(s, e, dtype=np.int32)[order]
+        n_hi = int((round_levels >= 1).sum())
+        # post-round bookkeeping (the device step is deterministic given bidx)
+        if e > s:
+            self.counts[:] += np.bincount(round_levels, minlength=self.L)[: self.L]
+            mx = int(round_levels.max(initial=-1))
+            if mx > self.entry_level:  # entry promotion (reference check_entry_point)
+                self.entry = int(s + int(np.argmax(round_levels == mx)))
+                self.entry_level = mx
+        self.cursor = e
+        return bidx, n_hi
+
+    def flush(self, tables_np):
+        """Write device tables (numpy, per layer (ids, dists)) back into the Hnsw."""
+        h = self.hnsw
+        n_total = self.n_total
+        for l in range(self.L):
+            t = h._layer_table(l)
+            ids = np.asarray(tables_np[l][0][:n_total])
+            dd = np.asarray(tables_np[l][1][:n_total])
+            t.ids[:n_total] = ids[:, : t.width]
+            t.dists[:n_total] = dd[:, : t.width]
+            t.counts[:n_total] = (ids[:, : t.width] >= 0).sum(1)
+        h._nb_point = n_total
+        h._entry = self.entry
+        h._version += 1
+
+
 def device_parallel_insert(hnsw, pairs, batch_size: Optional[int] = None,
                            expand: int = 8):
     """Build/extend an index with synchronized device rounds. Mutates ``hnsw`` in
@@ -330,89 +454,27 @@ def device_parallel_insert(hnsw, pairs, batch_size: Optional[int] = None,
         pairs = pairs[1:]
         if not pairs:
             return
-    n0 = hnsw._nb_point
-    npts = len(pairs)
-    # pre-sample levels (deterministic stream) & allocate host rows
-    new_levels = hnsw.level_sampler.generate(npts)
-    hnsw._set_dim(len(pairs[0][0]))
-    hnsw._ensure_cap(n0 + npts)
-    for k, ((v, oid), lvl) in enumerate(zip(pairs, new_levels)):
-        i = n0 + k
-        hnsw._data[i] = np.asarray(v, dtype=hnsw.dtype)
-        hnsw._origin[i] = oid
-        hnsw._level[i] = lvl
-        hnsw._rank_in_layer[i] = hnsw._layer_npoints[lvl]
-        hnsw._layer_npoints[lvl] += 1
-    n_total = n0 + npts
-    L = max(max(hnsw._layers.keys(), default=0), int(new_levels.max(initial=0)),
-            int(hnsw._level[:n0].max(initial=0))) + 1
-    widths = tuple(hnsw._layer_width(l) for l in range(L))
-    cap1 = ((n_total + 7) // 8) * 8 + 1
-    # device state
-    vec = np.zeros((cap1, hnsw._dim), np.float32)
-    vec[:n_total] = hnsw._data[:n_total].astype(np.float32)
-    levels_a = np.full(cap1, -1, np.int32)
-    levels_a[:n_total] = hnsw._level[:n_total]
-    vectors = jnp.asarray(vec)
+    st = HostBuildState(hnsw, pairs)
+    vectors = jnp.asarray(st.vec_np())
     sqnorms = (vectors * vectors).sum(-1)
-    levels_j = jnp.asarray(levels_a)
-    tables = []
-    for l in range(L):
-        ids = np.full((cap1, widths[l]), -1, np.int32)
-        dd = np.full((cap1, widths[l]), np.inf, np.float32)
-        t = hnsw._layers.get(l)
-        if t is not None:
-            ids[:n0, : t.width] = t.ids[:n0]
-            dd[:n0, : t.width] = t.dists[:n0]
-        tables.append((jnp.asarray(ids), jnp.asarray(dd)))
-    tables = tuple(tables)
-    # round bookkeeping (host): running per-layer counts BEFORE each round + entry
-    counts = np.array([int((hnsw._level[:n0] == l).sum()) for l in range(L)], np.int64)
-    entry = hnsw._entry
-    entry_level = int(hnsw._level[entry])
-    B = int(batch_size) if batch_size else int(min(4096, max(64, npts)))
+    levels_j = jnp.asarray(st.levels_np())
+    tables = tuple((jnp.asarray(i), jnp.asarray(d)) for i, d in st.tables_np())
+    B = int(batch_size) if batch_size else int(min(4096, max(64, st.remaining)))
     metric = hnsw.metric.name
-    s = n0
-    while s < n_total:
-        # Cold-start ramp: a round may not exceed the number of points already in the
-        # graph, else early points all link to the few seeds, whose rows can only
-        # absorb `width` backlinks, stranding the rest unreachable. Geometric growth
-        # (8, 16, ... B) costs log2(B) extra rounds and bounds recompiles.
-        Br = int(min(B, _next_pow2(max(8, s))))
-        e = min(s + Br, n_total)
-        bidx = np.full(Br, cap1 - 1, np.int32)  # pad -> sink (level -1, inactive)
-        round_levels = hnsw._level[s:e]
-        # sort the round by level descending: level>=1 points form the static B1
-        # prefix that upper-layer construction operates on
-        order = np.argsort(-round_levels, kind="stable")
-        bidx[: e - s] = np.arange(s, e, dtype=np.int32)[order]
-        n_hi = int((round_levels >= 1).sum())
+    while st.remaining:
+        Br = st.ramp(B)
+        max_obs, nonempty = st.entry_level, tuple(bool(c > 0) for c in st.counts)
+        entry = st.entry
+        bidx, n_hi = st.round_batch(Br)
         B1 = 0 if n_hi == 0 else int(min(Br, _next_pow2(max(8, n_hi))))
-        cfg = RoundConfig(B=Br, cap1=cap1, num_layers=L, widths=widths,
+        cfg = RoundConfig(B=Br, cap1=st.cap1, num_layers=st.L, widths=st.widths,
                           efc=hnsw.ef_construction, M=hnsw.max_nb_connection,
-                          metric=metric, expand=int(expand), max_obs=entry_level,
-                          nonempty=tuple(bool(c > 0) for c in counts),
+                          metric=metric, expand=int(expand), max_obs=max_obs,
+                          nonempty=nonempty,
                           keep_pruned=bool(hnsw.keep_pruned), B1=B1)
         tables = _round_step(vectors, sqnorms, levels_j, tables, jnp.asarray(bidx),
                              jnp.int32(entry), cfg=cfg)
-        if e % 50_000 < Br:  # reference prints every 50k inserts (src/hnsw.rs:524-526)
+        if st.cursor % 50_000 < Br:  # reference prints every 50k (src/hnsw.rs:524-526)
             from ..utils.logging import init_logging
-            init_logging().info("device insert: %d points indexed", e)
-        # post-round: update counts and promote entry (reference check_entry_point)
-        counts[: ] += np.bincount(round_levels, minlength=L)[:L]
-        mx = int(round_levels.max(initial=-1))
-        if mx > entry_level:
-            entry = int(s + int(np.argmax(round_levels == mx)))
-            entry_level = mx
-        s = e
-    # flush device tables back to host
-    for l in range(L):
-        t = hnsw._layer_table(l)
-        ids = np.array(tables[l][0][:n_total])
-        dd = np.array(tables[l][1][:n_total])
-        t.ids[:n_total] = ids[:, : t.width]
-        t.dists[:n_total] = dd[:, : t.width]
-        t.counts[:n_total] = (ids[:, : t.width] >= 0).sum(1)
-    hnsw._nb_point = n_total
-    hnsw._entry = entry
-    hnsw._version += 1
+            init_logging().info("device insert: %d points indexed", st.cursor)
+    st.flush(tables)

@@ -157,3 +157,69 @@ def test_native_dump_load_roundtrip(native, rng, tmp_path):
     r2 = NativeHnsw.load(tmp_path, "pydump")
     assert len(r2) == 400
     assert r2.search(X[7], 1, 32)[0][0] == 7
+
+
+def test_native_load_recovers_header_metadata(native, rng, tmp_path):
+    """A loaded native handle must carry the dump's M/efc/metric so to_hnsw() is
+    faithful (reference recovers these via Description, src/hnswio.rs:937-1042)."""
+    X = rng.random((120, 10)).astype(np.float32)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    nh = native(max_nb_connection=10, max_elements=120, ef_construction=48,
+                dist="Cosine")
+    for i, v in enumerate(X):
+        nh.insert(v, i)
+    nh.file_dump(tmp_path, "metaload")
+    from hnsw_tpu.ffi import NativeHnsw
+    r = NativeHnsw.load(tmp_path, "metaload")
+    assert r.M == 10
+    assert r.ef_construction == 48
+    assert r.dist_name == "Cosine"
+    h = r.to_hnsw()  # crashed before the fix (M=0 -> log(0) in the level sampler)
+    assert h.metric.name == "Cosine"
+    assert h.max_nb_connection == 10
+    assert h.search(X[3], 1, 24)[0].d_id == 3
+
+
+def test_native_parallel_insert_multi_batch_stress(native, rng):
+    """Repeated threaded batches must keep all storage consistent (the arrays are
+    pre-sized per batch; allocate() does only indexed writes during the threaded
+    phase). On this 1-core container interleaving is limited — the test still
+    exercises the pre-size-across-batches logic."""
+    d = 16
+    nh = native(max_nb_connection=12, max_elements=64, ef_construction=64)
+    X = rng.random((900, d)).astype(np.float32)
+    for lo in range(0, 900, 300):
+        nh.parallel_insert(X[lo:lo + 300], np.arange(lo, lo + 300), n_threads=4)
+        assert len(nh) == lo + 300
+    ids, dists = nh.parallel_search(X[::90], 1, 32, n_threads=4)
+    assert [int(i) for i in ids[:, 0]] == list(range(0, 900, 90))
+    h = nh.to_hnsw()
+    assert h.get_nb_point() == 900
+
+
+def test_native_description_and_graph_only_load(native, rng, tmp_path):
+    """C ABI header introspection + NoData reload (reference load_hnsw_description /
+    DescriptionFFI, libext.rs:1121-1232, and NoData load, libext.rs:446-451)."""
+    from hnsw_tpu.ffi import load_hnsw_description, NativeHnsw
+    X = rng.random((150, 12)).astype(np.float32)
+    nh = native(max_nb_connection=9, max_elements=150, ef_construction=40, dist="L1")
+    for i, v in enumerate(X):
+        nh.insert(v, i)
+    nh.file_dump(tmp_path, "descffi")
+    d = load_hnsw_description(tmp_path, "descffi")
+    assert d.format_version == 4 and d.dumpmode == 1
+    assert d.max_nb_connection == 9
+    assert d.ef_construction == 40
+    assert d.nb_point == 150 and d.dimension == 12
+    assert d.t_name == b"f32"
+    assert b"DistL1" in d.distname
+    with pytest.raises(IOError):
+        load_hnsw_description(tmp_path, "no-such-dump")
+    # graph-only: full topology, no vectors
+    g = NativeHnsw.load_graph_only(tmp_path, "descffi")
+    assert len(g) == 150 and g.dist_name == "L1" and g.M == 9
+    ids, dd = g.search(X[0], 3, 16)
+    assert len(ids) == 0  # no data -> search yields nothing (documented contract)
+    h = g.to_hnsw()  # topology export works and matches the full reload's graph
+    full = NativeHnsw.load(tmp_path, "descffi").to_hnsw()
+    assert h.check_graph_equality(full)

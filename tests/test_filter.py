@@ -81,3 +81,41 @@ def test_levenshtein_index_with_filter(rng):
     # parallel_search must fall back to the serial path (no device kernel)
     answers = h.parallel_search(words[:6], 2, 16)
     assert len(answers) == 6 and answers[0][0].d_id == 0
+
+
+def test_filter_oracle_at_scale(rng):
+    """Reference filter_l2 at its real scale (tests/filtertest.rs:154-219): 5000x25,
+    filter = ids 300..400, filtered search over the full graph vs a physically
+    restricted index, scored against the fp64 brute-force oracle on the subset."""
+    n, d, k = 5000, 25, 10
+    X = rng.random((n, d)).astype(np.float32)
+    h = Hnsw(max_nb_connection=15, max_elements=n, ef_construction=200, dist="L2")
+    h.parallel_insert(list(zip(X, range(n))))
+    keep = list(range(300, 400))
+    restricted = Hnsw(max_nb_connection=15, max_elements=128, ef_construction=200,
+                      dist="L2")
+    for i in keep:
+        restricted.insert(X[i], i)
+    Q = rng.random((8, d)).astype(np.float32)
+    truth_d = ((Q[:, None, :].astype(np.float64)
+                - X[None, keep, :].astype(np.float64)) ** 2).sum(-1)
+    hits = tot = 0
+    for b in range(8):
+        res = h.search_filter(Q[b], k, 100, filter=keep)
+        assert res, "filtered search returned nothing"
+        assert all(r.d_id in set(keep) for r in res)
+        # distances must be the true distances to the returned ids
+        for r in res:
+            want = float(np.sqrt(((Q[b].astype(np.float64)
+                                   - X[r.d_id].astype(np.float64)) ** 2).sum()))
+            assert abs(r.distance - want) <= 1e-3 * max(1.0, want)
+        kth = np.sort(truth_d[b])[min(k, len(keep)) - 1]
+        hits += sum(1 for r in res if truth_d[b][keep.index(r.d_id)] <= kth + 1e-9)
+        tot += k
+        # consistency with the physically restricted index (the reference's check)
+        direct = restricted.search(Q[b], k, 100)
+        overlap = {r.d_id for r in res} & {r.d_id for r in direct}
+        assert len(overlap) >= k - 2, (b, sorted(overlap))
+    # at 2% selectivity the reference algorithm itself tops out around 0.8 recall
+    # with ef=100 (its own filter_l2 asserts no floor, only distance consistency)
+    assert hits / tot >= 0.75, hits / tot

@@ -162,3 +162,41 @@ def test_light_dump_and_bad_magic(rng, tmp_path):
     (tmp_path / "trunc.hnsw.graph").write_bytes(data[:20])
     with pytest.raises((ValueError, EOFError)):
         load_description(tmp_path / "trunc.hnsw.graph")
+
+
+def test_dump_rejects_m_over_255(tmp_path, rng):
+    """The header stores M as u8; M=256 must fail loudly instead of truncating to 0
+    (the reference silently casts, src/hnsw.rs:823-825)."""
+    h = Hnsw(max_nb_connection=256, max_elements=8, ef_construction=8, dist="L2")
+    h.insert(rng.random(4).astype(np.float32), 0)
+    with pytest.raises(ValueError, match="max_nb_connection"):
+        h.file_dump(tmp_path, "m256")
+
+
+def test_mmap_threshold_partial_residency(rng, tmp_path):
+    """ReloadOptions.mmap_threshold keeps the bulk of the corpus on the map
+    (reference src/hnswio.rs:675-692): no full RAM copy of _data, search reads
+    through the mmap, and inserts-after-reload land in the RAM overlay."""
+    from hnsw_tpu.io.datamap import LazyMmapData
+    h, X = _build(rng, n=300)
+    basename = h.file_dump(tmp_path, "residency")
+    io = HnswIo(tmp_path, basename, ReloadOptions(datamap=True, mmap_threshold=32))
+    r = io.load_hnsw()
+    assert isinstance(r._data, LazyMmapData)
+    assert r._data.resident_rows <= 32
+    assert r.datamap_opt
+    for i in (3, 77, 250):
+        res = r.search(X[i], 1, 64)
+        assert res[0].d_id == i and abs(res[0].distance) < 1e-6
+    # distances equal a fully-materialized reload
+    q = rng.random(8).astype(np.float32)
+    a = [(n.d_id, round(n.distance, 5)) for n in r.search(q, 5, 64)]
+    full = HnswIo(tmp_path, basename).load_hnsw()
+    b = [(n.d_id, round(n.distance, 5)) for n in full.search(q, 5, 64)]
+    assert a == b
+    # insert-more lands in the RAM overlay (the map itself is read-only)
+    before = r._data.resident_rows
+    v = rng.random(8).astype(np.float32)
+    r.insert(v, 999)
+    assert r._data.resident_rows == before + 1
+    assert r.search(v, 1, 64)[0].d_id == 999

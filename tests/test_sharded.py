@@ -67,3 +67,44 @@ def test_entry_compiles():
     ids, dists = (np.asarray(o) for o in out)
     assert ids.shape == (8, 10)
     assert np.isfinite(dists[:, 0]).all()
+
+
+def test_sharded_more_shards_than_points(rng, mesh8):
+    """Empty shards (n < n_shards) must not leak external id -1 with finite distances
+    into the merged top-k (their padding beats nothing)."""
+    n, d, k = 5, 8, 5
+    X = rng.random((n, d)).astype(np.float32)
+    sh = ShardedHnsw(mesh=mesh8, max_nb_connection=8, max_elements=16,
+                     ef_construction=32, dist="L2")
+    sh.parallel_insert(list(zip(X, range(n))), mode="serial")
+    ids, dists = sh.search_batch(X[:3], k, 16)
+    for b in range(3):
+        finite = np.isfinite(dists[b])
+        assert (ids[b][finite] >= 0).all(), (ids[b], dists[b])
+        assert set(ids[b][finite]) == set(range(n))
+        assert int(ids[b, 0]) == b
+
+
+def test_mesh_build_product_path(rng, mesh8):
+    """The product build path: parallel_insert(mode="mesh") drives one jitted
+    data-parallel round per step that advances ALL 8 shard tables at once (no
+    per-shard Python loop), and the resulting sharded index searches correctly."""
+    n, d, k = 4000, 16, 10
+    X = rng.random((n, d)).astype(np.float32)
+    sh = ShardedHnsw(mesh=mesh8, max_nb_connection=12, max_elements=n // 8 + 8,
+                     ef_construction=100, dist="L2")
+    sh.parallel_insert(list(zip(X, range(n))), mode="mesh", batch_size=128)
+    assert len(sh) == n
+    for s in sh.shards:  # every shard advanced by the shared jitted rounds
+        assert s._nb_point == n // 8
+        assert (s._layers[0].counts[1: s._nb_point] > 0).mean() > 0.95
+    Q = rng.random((24, d)).astype(np.float32)
+    ids, dists = sh.search_batch(Q, k, 48)
+    truth = get_metric("L2").brute_force(Q, X)
+    hits = 0
+    for b in range(24):
+        kth = np.sort(truth[b])[k - 1]
+        hits += int((dists[b] <= kth + 1e-6).sum())
+    assert hits / (24 * k) >= 0.9, hits / (24 * k)
+    ids2, _ = sh.search_batch(X[:32], 1, 24)
+    assert sum(1 for i in range(32) if int(ids2[i, 0]) == i) >= 31
