@@ -22,10 +22,11 @@ pipeline as one jitted program —
 Points within a round do not see each other — the same contract the reference
 documents for its thread races, but *deterministic* given (data order, batch size).
 
-Known deviation: ``extend_candidates`` (a layer-0 widening of the selection pool that
-the reference only applies when fewer candidates than requested links exist,
-``src/hnsw.rs:1336-1362``) is not applied on the device path; in that regime the
-selection keeps every candidate anyway, so the effect on recall is marginal.
+``extend_candidates`` (a layer-0 widening of the selection pool that the reference
+only applies when fewer candidates than requested links exist,
+``src/hnsw.rs:1317-1362``) runs as a ``lax.cond`` branch: the full round pays for the
+widening gather only when at least one point in the round actually triggers it
+(early rounds, sparse regions) — see ``extend_candidates_batched``.
 """
 
 from __future__ import annotations
@@ -64,6 +65,7 @@ class RoundConfig:
     max_obs: int  # entry level at round start
     nonempty: tuple  # per-layer: did the layer contain points at round start
     keep_pruned: bool
+    extend: bool = False  # reference extend_candidates (src/hnsw.rs:1317-1362)
     # upper-layer work runs on the first B1 rows only — the host sorts each round's
     # batch by level descending, so points with level >= 1 (an ~1/ln(M) fraction)
     # occupy a small static prefix instead of dragging full-width beams through
@@ -139,6 +141,69 @@ def select_neighbours_batched(metric: str, vectors, sqnorms, cand_ids, cand_d,
     sel_ids = jnp.where(okay, jnp.take_along_axis(ids, order, 1), -1)
     sel_d = jnp.where(okay, jnp.take_along_axis(dd, order, 1), INF)
     return sel_ids, sel_d
+
+
+def extend_candidates_batched(metric: str, vectors, sqnorms, tbl0, q, cand_ids,
+                              cand_d, nb_conn: int, act, k_out: int):
+    """Layer-0 candidate-pool widening (reference ``select_neighbours`` extension,
+    ``src/hnsw.rs:1317-1362``): a point whose beam returned <= ``nb_conn`` candidates
+    adds every layer-0 neighbour of those candidates to its pool, scored against the
+    query, before the diversity prune. The reference dedups via a HashMap; here the
+    merged pool is sorted by (id, distance) so duplicates (which share an exact
+    distance) become adjacent and are masked, then re-sorted by distance.
+
+    The whole widening executes under ``lax.cond`` — rounds where no point triggers
+    (the common case once the graph outgrows ef_construction) skip it entirely.
+
+    Returns ([B, k_out] ids -1-padded, dists) sorted ascending.
+    """
+    B, C = cand_ids.shape
+    cap1, M0 = tbl0.shape
+    W = min(C, nb_conn)  # triggering points have <= nb_conn candidates
+    P = W * M0
+
+    n_valid = (cand_ids >= 0).sum(1)
+    need = act & (n_valid <= nb_conn)
+
+    def widen(_):
+        src = cand_ids[:, :W]
+        nb = tbl0[jnp.clip(src, 0, cap1 - 1)].reshape(B, P)
+        ok = need[:, None] & jnp.repeat(src >= 0, M0, axis=1) & (nb >= 0)
+        # score the pool in chunks to bound the [B, chunk, d] gather temporaries
+        chunk = max(M0, min(P, (1 << 21) // max(1, q.shape[1])))
+        scs = []
+        for s in range(0, P, chunk):
+            blk = jnp.where(ok[:, s:s + chunk], nb[:, s:s + chunk], cap1 - 1)
+            scs.append(scores_gathered(metric, q, vectors[blk], sqnorms[blk]))
+        sc = jnp.where(ok, jnp.concatenate(scs, axis=1), INF)
+        m_ids = jnp.concatenate([jnp.where(cand_ids >= 0, cand_ids, cap1),
+                                 jnp.where(ok, nb, cap1)], axis=1)
+        m_d = jnp.concatenate([cand_d, sc], axis=1)
+        # dedup: stable sort by id then by distance -> duplicate ids (equal dists)
+        # are adjacent inside each equal-distance run
+        o1 = jnp.argsort(m_ids, axis=1, stable=True)
+        i1 = jnp.take_along_axis(m_ids, o1, 1)
+        d1 = jnp.take_along_axis(m_d, o1, 1)
+        dbits = lax.bitcast_convert_type(jnp.where(i1 < cap1, d1, INF), jnp.int32)
+        o2 = jnp.argsort(dbits, axis=1, stable=True)
+        i2 = jnp.take_along_axis(i1, o2, 1)
+        d2 = jnp.take_along_axis(d1, o2, 1)
+        dup = jnp.concatenate([jnp.zeros((B, 1), bool), i2[:, 1:] == i2[:, :-1]], 1)
+        live = (i2 < cap1) & ~dup
+        neg, o3 = lax.top_k(jnp.where(live, -d2, -INF), k_out)
+        out_ids = jnp.take_along_axis(jnp.where(live, i2, -1), o3, 1)
+        return jnp.where(neg > -INF, out_ids, -1), -neg
+
+    def passthrough(_):
+        k = min(k_out, C)
+        ids = cand_ids[:, :k]
+        dd = cand_d[:, :k]
+        if k < k_out:
+            ids = jnp.concatenate([ids, jnp.full((B, k_out - k), -1, jnp.int32)], 1)
+            dd = jnp.concatenate([dd, jnp.full((B, k_out - k), INF)], 1)
+        return ids, dd
+
+    return lax.cond(need.any(), widen, passthrough, jnp.int32(0))
 
 
 # ------------------------------------------------------------- reverse-link merge ----
@@ -271,6 +336,11 @@ def round_step(vectors, sqnorms, levels, tables, batch_ids, entry, *, cfg: Round
                                              pivot, d0, ef=cfg.efc, expand=cfg.expand,
                                              active=act0)
         nb_conn = cfg.widths[0]  # 2M at layer 0 (reference src/hnsw.rs:1177-1182)
+        if cfg.extend:  # reference applies extension at layer 0 only (src/hnsw.rs:1176-1183)
+            k_win = min(cand_ids.shape[1], max(2 * nb_conn, 128))
+            cand_ids, cand_d = extend_candidates_batched(
+                metric, vectors, sqnorms, ids_t[0], q, cand_ids, cand_d, nb_conn,
+                act0, k_out=k_win)
         sel_ids, sel_d = select_neighbours_batched(metric, vectors, sqnorms, cand_ids,
                                                    cand_d, nb_conn, cfg.keep_pruned)
         tgt = jnp.where(act0, batch_ids, sink)
@@ -471,7 +541,8 @@ def device_parallel_insert(hnsw, pairs, batch_size: Optional[int] = None,
                           efc=hnsw.ef_construction, M=hnsw.max_nb_connection,
                           metric=metric, expand=int(expand), max_obs=max_obs,
                           nonempty=nonempty,
-                          keep_pruned=bool(hnsw.keep_pruned), B1=B1)
+                          keep_pruned=bool(hnsw.keep_pruned),
+                          extend=bool(hnsw.extend_candidates), B1=B1)
         tables = _round_step(vectors, sqnorms, levels_j, tables, jnp.asarray(bidx),
                              jnp.int32(entry), cfg=cfg)
         if st.cursor % 50_000 < Br:  # reference prints every 50k (src/hnsw.rs:524-526)

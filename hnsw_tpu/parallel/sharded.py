@@ -172,7 +172,8 @@ class ShardedHnsw:
                               efc=h0.ef_construction, M=h0.max_nb_connection,
                               metric=h0.metric.name, expand=int(expand),
                               max_obs=max_obs, nonempty=nonempty,
-                              keep_pruned=bool(h0.keep_pruned), B1=B1)
+                              keep_pruned=bool(h0.keep_pruned),
+                              extend=bool(h0.extend_candidates), B1=B1)
             if cfg not in step_cache:
                 step_cache[cfg] = sharded_insert_round_fn(self.mesh, self.axis, cfg)
             tables = step_cache[cfg](vectors, sqnorms, levels, tables,
