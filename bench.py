@@ -8,10 +8,15 @@ Dataset is synthetic (zero-egress container): low-intrinsic-dimension gaussians 
 SIFT dimensionality (the regime of the reference's benchmark datasets). Ground truth
 is exact brute force in float64 on host.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Throughput is the MEDIAN over >=5 timed blocks of >=2s each (pipelined stream);
+the JSON records both engines separately (hnsw_* and exact_*) plus the block
+spread, so run-to-run variance is visible in the record itself.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...engine fields}.
 Environment knobs: BENCH_N (default 200000), BENCH_D (128), BENCH_M (24),
-BENCH_EFC (200), BENCH_BATCH (1024 build batch), BENCH_QBATCH (4096 query batch),
-BENCH_BUILD (device|native), BENCH_INTRINSIC (16), BENCH_RECALL (0.98).
+BENCH_EFC (200), BENCH_BATCH (4096 build batch), BENCH_QBATCH (8192 query batch),
+BENCH_BUILD (device|native), BENCH_INTRINSIC (16), BENCH_RECALL (0.98),
+BENCH_EXPAND (4 beam expansion), BENCH_BLOCKS (5 timed blocks).
 """
 
 import json
@@ -46,7 +51,9 @@ def main():
     M = int(os.environ.get("BENCH_M", 24))
     efc = int(os.environ.get("BENCH_EFC", 200))
     BB = int(os.environ.get("BENCH_BATCH", 4096))
-    QB = int(os.environ.get("BENCH_QBATCH", 4096))
+    QB = int(os.environ.get("BENCH_QBATCH", 8192))
+    EXPAND = int(os.environ.get("BENCH_EXPAND", 4))
+    BLOCKS = int(os.environ.get("BENCH_BLOCKS", 5))
     k = 10
     RECALL_FLOOR = float(os.environ.get("BENCH_RECALL", 0.98))
 
@@ -65,12 +72,14 @@ def main():
 
     # exact ground truth in float64 on host — the f32 norm-trick (q^2 - 2qx + x^2)
     # loses ~1e-3 relative precision to cancellation, enough to mis-rank near-ties
-    # and deflate measured recall by several points
+    # and deflate measured recall by several points. Recall is scored on the first
+    # NQ_GT queries (the stream still serves all QB).
+    NQ_GT = min(QB, 4096)
     log("[bench] computing ground truth (fp64) ...")
     X64 = X.astype(np.float64)
     xsq64 = (X64 * X64).sum(-1)
-    kth = np.empty(QB, np.float64)
-    for s in range(0, QB, 128):
+    kth = np.empty(NQ_GT, np.float64)
+    for s in range(0, NQ_GT, 128):
         q64 = Q[s:s + 128].astype(np.float64)
         d2 = (q64 * q64).sum(-1)[:, None] - 2.0 * (q64 @ X64.T) + xsq64[None, :]
         part = np.partition(d2, k - 1, axis=1)[:, k - 1]
@@ -86,17 +95,35 @@ def main():
     Qbf = jnp.asarray(Q[:QB_BF])
     dd_bf, ids_bf = pallas_l2_topk(Qbf, Xpd, xsqd, k, tn=2048, group=16)
     np.array(ids_bf)
-    t0 = time.time()
-    reps = 10
-    for _ in range(reps):
-        dd_bf, ids_bf = pallas_l2_topk(Qbf, Xpd, xsqd, k, tn=2048, group=16)
-        np.array(ids_bf)  # axon's block_until_ready is a no-op; a fetch forces completion
-    bf_qps = reps * QB_BF / (time.time() - t0)
+
+    def median_blocks(run_once, qcount, blocks=BLOCKS, min_block_s=2.0):
+        """Median QPS over >=blocks timed blocks of >=min_block_s each, plus the
+        relative spread (max-min)/median across blocks."""
+        t0 = time.time()
+        run_once()
+        per = max(time.time() - t0, 1e-3)
+        reps = max(1, int(np.ceil(min_block_s / per)))
+        samples = []
+        for _ in range(blocks):
+            t0 = time.time()
+            for _ in range(reps):
+                run_once()
+            samples.append(reps * qcount / (time.time() - t0))
+        med = float(np.median(samples))
+        spread = float((max(samples) - min(samples)) / med)
+        return med, spread
+
+    def bf_once():
+        _, ids = pallas_l2_topk(Qbf, Xpd, xsqd, k, tn=2048, group=16)
+        np.array(ids)  # axon's block_until_ready is a no-op; a fetch forces completion
+
+    bf_qps, bf_spread = median_blocks(bf_once, QB_BF)
 
     def recall_fp64(origin_ids, nq):
         """Score recall by recomputing returned candidates' distances in fp64 —
         engine-reported f32 distances carry ~1e-3 cancellation error, enough to
         mis-score near-ties against the fp64 kth threshold."""
+        nq = min(nq, NQ_GT)
         ok = origin_ids >= 0
         safe = np.clip(origin_ids, 0, N - 1)
         hits = 0
@@ -126,18 +153,19 @@ def main():
     build_s = time.time() - t0
     log(f"[bench] build done in {build_s:.1f}s ({N / build_s:.0f} pts/s)")
 
-    def run_batch(ef):
-        ids, dists = h.search_batch(Q, k, ef)
-        return ids, dists
+    from hnsw_tpu.ops.beam_search import device_search_stream
+
+    def run_stream(ef):
+        return device_search_stream(h, Q, k, ef, batch=QB, expand=EXPAND)
 
     def recall_of(ids):
         oid = np.where(ids >= 0, h._origin[np.clip(ids, 0, h._nb_point - 1)], -1)
-        return recall_fp64(oid, QB)
+        return recall_fp64(oid, NQ_GT)
 
-    # ef sweep to hit the recall floor
+    # ef sweep to hit the recall floor (measured on the production stream path)
     chosen_ef, chosen_recall = None, 0.0
     for ef in (16, 24, 32, 48, 64, 72, 80, 96, 128, 192, 256, 384, 512):
-        ids, dists = run_batch(ef)
+        ids, dists = run_stream(ef)
         r = recall_of(ids)
         log(f"[bench] ef={ef}: recall@{k}={r:.4f}")
         chosen_ef, chosen_recall = ef, r
@@ -145,24 +173,22 @@ def main():
             break
 
     # sustained serving throughput at the chosen ef: pipelined stream (dispatch of
-    # batch i+1 overlaps the fetch of batch i) over an 8x tiled query stream
-    from hnsw_tpu.ops.beam_search import device_search_stream
-    Qstream = np.tile(Q, (8, 1))
-    device_search_stream(h, Qstream[: 2 * QB], k, chosen_ef, batch=QB)  # warm
-    t0 = time.time()
-    ids_s, dists_s = device_search_stream(h, Qstream, k, chosen_ef, batch=QB)
-    dt = time.time() - t0
-    qps = len(Qstream) / dt
-    stream_recall = recall_of(ids_s[:QB])
-    log(f"[bench] ef={chosen_ef} recall={stream_recall:.4f}: "
-        f"{qps:.0f} QPS sustained over {len(Qstream)} queries")
-    chosen_recall = stream_recall
+    # batch i+1 overlaps the fetch of batch i), median over timed blocks
+    Qstream = np.tile(Q, (max(1, (2 * QB) // len(Q)) * 2, 1))
+
+    def hnsw_once():
+        device_search_stream(h, Qstream, k, chosen_ef, batch=QB, expand=EXPAND)
+
+    qps, hnsw_spread = median_blocks(hnsw_once, len(Qstream))
+    log(f"[bench] ef={chosen_ef} recall={chosen_recall:.4f}: {qps:.0f} QPS median "
+        f"(spread {hnsw_spread:.1%}) over {BLOCKS} blocks")
 
     # reference comparable row: SIFT1M M=64 efC=1600 -> 15,258 QPS @ 0.9907 on
     # i9-13900HX 24c (BASELINE.md); this is the north-star denominator.
     baseline_qps = 15258.0
     # the framework serves two engines; report the faster one that clears the floor
-    # (auto engine selection is part of the product: exact scan wins below ~1M)
+    # (auto engine selection is part of the product: the graph engine wins once the
+    # blocked-int8 traversal codec kicks in; the exact scan wins tiny indexes)
     candidates = [("hnsw-beam", qps, chosen_recall)]
     if bf_recall >= RECALL_FLOOR:
         candidates.append(("pallas-exact-scan", bf_qps, bf_recall))
@@ -177,6 +203,16 @@ def main():
         "value": round(best[1], 1),
         "unit": "qps",
         "vs_baseline": round(best[1] / baseline_qps, 3),
+        "hnsw_qps": round(qps, 1),
+        "hnsw_recall": round(chosen_recall, 4),
+        "hnsw_ef": chosen_ef,
+        "hnsw_spread": round(hnsw_spread, 3),
+        "hnsw_vs_baseline": round(qps / baseline_qps, 3),
+        "exact_qps": round(bf_qps, 1),
+        "exact_recall": round(bf_recall, 4),
+        "exact_spread": round(bf_spread, 3),
+        "build_s": round(build_s, 1),
+        "build_backend": backend,
     }))
 
 

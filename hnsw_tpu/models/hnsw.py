@@ -124,6 +124,8 @@ class Hnsw:
         self._nb_point: int = 0
         self._version: int = 0  # bumped on any mutation; invalidates device caches
         self._device_cache = None
+        self._codec_kind = "auto"  # beam-traversal codec policy (set_traversal_codec)
+        self._codec_cache = None
 
     # ------------------------------------------------------------------ accessors ---
 
@@ -592,6 +594,39 @@ class Hnsw:
             kw = {"device_dtype": dt} if dt is not None else {}
             self._device_cache = GraphArrays.from_host(self, **kw)
         return self._device_cache
+
+    # traversal codec: blocked-quantized store is the default above this size —
+    # below it the exact f32 gather is already cheap and codec build time dominates
+    CODEC_MIN_POINTS = 32_768
+    CODEC_MAX_BYTES = 8 << 30  # above this the blocks don't fit v5e HBM comfortably
+
+    def set_traversal_codec(self, kind):
+        """Beam-traversal vector codec: ``"i8"`` (blocked int8 store + exact f32
+        rerank — the fast path), ``"bf16"``, ``None`` (exact f32 gather), or
+        ``"auto"`` (default: i8 for inner-product metrics once the index exceeds
+        CODEC_MIN_POINTS and the blocks fit CODEC_MAX_BYTES)."""
+        if kind not in ("i8", "bf16", "auto", None):
+            raise ValueError(f"unknown codec kind {kind!r}")
+        self._codec_kind = kind
+        self._codec_cache = None
+
+    def device_codec(self):
+        """The (cached) BeamCodec for the current graph version, or None."""
+        from ..ops.graph_arrays import BeamCodec
+        kind = getattr(self, "_codec_kind", "auto")
+        if kind is None or self.metric.name not in BeamCodec.SUPPORTED:
+            return None
+        if kind == "auto":
+            g0 = self.device_graph()
+            est = g0.cap1 * g0.layer_ids[0].shape[1] * (self._dim or 1)
+            if self._nb_point < self.CODEC_MIN_POINTS or est > self.CODEC_MAX_BYTES:
+                return None
+            kind = "i8"
+        cache = getattr(self, "_codec_cache", None)
+        if cache is None or cache[0] != self._version:
+            cache = (self._version, BeamCodec.build(self.device_graph(), kind=kind))
+            self._codec_cache = cache
+        return cache[1]
 
     # --------------------------------------------------------------- persistence ----
 

@@ -73,37 +73,75 @@ def scores_gathered(metric_name: str, q: jax.Array, cvecs: jax.Array,
     return m.jnp_scores(q, cvecs)
 
 
-def _merge_beam(beam_ids, beam_d, beam_exp, new_ids, new_d, ef: int):
-    """(beam ∪ candidates) -> best ef, carrying expanded flags through the merge.
-    Uses ``lax.top_k`` (O(n log k) selection) rather than a full argsort — the merge
-    runs every beam iteration and dominates the query step's critical path. (A
-    lossless two-stage pre-reduction of wide candidate sets was measured slower on
-    v5e — one wide top_k wins.)"""
+def _merge_beam(beam_ids, beam_d, new_ids, new_d, ef: int, exact: bool = False):
+    """(beam ∪ candidates) -> best ef, ascending. ``lax.approx_max_k`` rides the
+    TPU's PartialReduce unit (measured ~2x the throughput of sort-based ``top_k``
+    in-loop on v5e, identical recall at these shapes); on CPU it lowers to the exact
+    sort. ``exact=True`` forces ``lax.top_k`` — used for final result ordering."""
     cat_ids = jnp.concatenate([beam_ids, new_ids], axis=1)
     cat_d = jnp.concatenate([beam_d, new_d], axis=1)
-    neg, order = lax.top_k(-cat_d, ef)
-    take = lambda a: jnp.take_along_axis(a, order, axis=1)
-    if beam_exp is not None:
-        cat_exp = jnp.concatenate([beam_exp, jnp.zeros_like(new_ids, dtype=jnp.uint8)],
-                                  axis=1)
-        return take(cat_ids), -neg, take(cat_exp)
-    return take(cat_ids), -neg, None
+    if exact:
+        neg, order = lax.top_k(-cat_d, ef)
+    else:
+        neg, order = lax.approx_max_k(-cat_d, ef)
+    return jnp.take_along_axis(cat_ids, order, axis=1), -neg
+
+
+def scores_codec(codec, q, src_c, qsq, qnorm):
+    """Approximate distances of each query to the E expanded nodes' full
+    neighborhoods, via the blocked quantized store: [B,E] block rows -> [B,E*M0].
+    One contiguous ~M0*d-byte gather row per expanded node instead of M0 scattered
+    vector rows — the measured v5e gather is row-bound, so this is the hot-path win.
+    """
+    B = q.shape[0]
+    E = src_c.shape[1]
+    blk = codec.blocks[src_c]  # [B, E, M0*d]
+    cb = blk.reshape(B, E * codec.M0, codec.dim)
+    csq = codec.blocks_sq[src_c].reshape(B, E * codec.M0)
+    ip = jnp.einsum("bd,bkd->bk", q.astype(jnp.bfloat16), cb.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32) * codec.scale
+    m = codec.metric_name
+    if m in ("L2", "DistL2"):
+        return jnp.sqrt(jnp.maximum(qsq - 2.0 * ip + csq, 0.0))
+    if m in ("Dot", "DistDot"):
+        return 1.0 - ip
+    # Cosine: blocks store L2-normalized rows, so only the query norm remains
+    return 1.0 - ip / qnorm
+
+
+def exact_rerank(metric_name, vectors, sqnorms, q, ids, k: int):
+    """Re-score candidate ids against the exact f32 vectors and return the best k
+    ascending — restores exact distances (and exact ordering) after a quantized
+    traversal. One [B, ef] gather, once per query."""
+    cap1 = vectors.shape[0]
+    safe = jnp.clip(ids, 0, cap1 - 1)
+    sc = scores_gathered(metric_name, q, vectors[safe], sqnorms[safe])
+    sc = jnp.where(ids >= 0, sc, INF)
+    neg, order = lax.top_k(-sc, k)
+    out_ids = jnp.take_along_axis(ids, order, axis=1)
+    return jnp.where(neg > -INF, out_ids, -1), -neg
 
 
 def beam_search_layer(metric_name: str, vectors, sqnorms, tbl_ids, q, start_ids,
                       start_dists, *, ef: int, expand: int = 4,
-                      mask=None, active=None, max_iters: Optional[int] = None):
+                      mask=None, active=None, max_iters: Optional[int] = None,
+                      codec=None, term_slack: float = 1.0):
     """Beam search within one layer for a batch of queries — SCATTER-FREE.
 
     The reference's per-query visited HashMap (``src/hnsw.rs:956-958``) has no cheap
-    array analog: XLA scatter serializes on TPU (~500µs per [B,K] update, 7-10x the
-    cost of every other op in the loop). Instead, revisits are suppressed by pure
-    comparisons against (a) the current beam, (b) an expansion-history ring buffer
-    ``hist [B,H]`` appended with ``dynamic_update_slice``, and (c) an intra-step
-    duplicate mask. A node expanded and later aged out of the ring could be
-    re-expanded (wasting an iteration, bounded by ``max_iters``); a node admitted
-    then evicted can be re-scored — neither affects which distances are reachable,
-    so recall semantics match the reference's visited-set up to extra work.
+    array analog: XLA scatter serializes on TPU (measured ~4 ms/iter just to flag
+    expanded beam entries at B=4096). Instead, ALL bookkeeping is pure comparisons:
+
+      * expanded flags = beam membership in an expansion-history ring ``hist [B,H]``
+        (appended with ``dynamic_update_slice``, never scattered)
+      * revisit suppression = membership vs the beam, vs ``hist``, and an intra-step
+        duplicate mask
+
+    A node expanded and later aged out of the ring is re-expanded once (it re-enters
+    the most recent ring slot; one wasted iteration, bounded by ``max_iters``); a
+    node admitted then evicted can be re-scored — neither affects which distances
+    are reachable, so recall semantics match the reference's visited-set up to
+    extra work.
 
     Args:
       vectors: [cap1, d] — row cap1-1 is the reserved sink row.
@@ -112,6 +150,9 @@ def beam_search_layer(metric_name: str, vectors, sqnorms, tbl_ids, q, start_ids,
       ef: beam width (static). expand: frontier nodes expanded per step (static).
       mask: optional [cap1] bool — result-beam admission filter.
       active: optional [B] bool — queries to run (others return empty beams).
+      codec: optional BeamCodec for this layer — traversal scores come from the
+        blocked quantized store instead of the f32 gather; callers should
+        ``exact_rerank`` the returned beam (``device_search_batch`` does).
 
     Returns (beam_ids [B,ef], beam_dists [B,ef]) sorted ascending; if ``mask`` is
     given these are the *filtered* result beam.
@@ -130,7 +171,6 @@ def beam_search_layer(metric_name: str, vectors, sqnorms, tbl_ids, q, start_ids,
     start_ok = active & (start_ids >= 0)
     beam_ids = jnp.full((B, ef), -1, jnp.int32).at[:, 0].set(jnp.where(start_ok, start_ids, -1))
     beam_d = jnp.full((B, ef), INF).at[:, 0].set(jnp.where(start_ok, start_dists, INF))
-    beam_exp = jnp.zeros((B, ef), jnp.uint8)
     use_mask = mask is not None
     if use_mask:
         start_pass = start_ok & mask[jnp.clip(start_ids, 0, cap1 - 1)]
@@ -140,27 +180,33 @@ def beam_search_layer(metric_name: str, vectors, sqnorms, tbl_ids, q, start_ids,
         res_ids = res_d = None
     hist = jnp.full((B, H), -2, jnp.int32)  # -2: never matches a real id or -1 pad
     done = ~start_ok
-    rows = jnp.arange(B, dtype=jnp.int32)[:, None]
     tri = (jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
            < jax.lax.broadcasted_iota(jnp.int32, (K, K), 0))  # tri[k, j] = j < k
+    qsq = (q.astype(jnp.float32) ** 2).sum(-1)[:, None]
+    qnorm = jnp.sqrt(jnp.maximum(qsq, 1e-20))
 
     def cond(state):
         it, done, *_ = state
         return (it < max_iters) & ~jnp.all(done)
 
     def body(state):
-        it, done, beam_ids, beam_d, beam_exp, res_ids, res_d, hist = state
-        # 1. pick the E nearest unexpanded beam entries per query
-        cand_d = jnp.where((beam_exp > 0) | (beam_ids < 0), INF, beam_d)
+        it, done, beam_ids, beam_d, res_ids, res_d, hist = state
+        # 1. pick the E nearest unexpanded beam entries per query (expanded ==
+        #    present in the history ring — no flag array, no scatter)
+        beam_exp = (beam_ids[:, :, None] == hist[:, None, :]).any(-1)
+        cand_d = jnp.where(beam_exp | (beam_ids < 0), INF, beam_d)
         neg_sel, pos = lax.top_k(-cand_d, E)  # [B,E]
         sel_d = -neg_sel
         nearest_d = sel_d[:, 0]
         worst = beam_d[:, ef - 1]
-        step_done = done | (nearest_d == INF) | (nearest_d > worst)
+        # term_slack > 1 keeps scanning a little past the exact-arithmetic stop —
+        # with a quantized codec, near-ties can otherwise trip termination early.
+        # (|worst| form keeps the loosening direction right for negative Dot dists)
+        thresh = worst + jnp.float32(term_slack - 1.0) * jnp.abs(worst)
+        step_done = done | (nearest_d == INF) | (nearest_d > thresh)
         act = ~step_done
-        # 2. mark them expanded, log them in the history ring, gather their rows
+        # 2. log them in the history ring, gather their neighbor rows
         sel_ok = act[:, None] & (sel_d < INF)
-        beam_exp = beam_exp.at[rows, pos].max(sel_ok.astype(jnp.uint8))
         src = jnp.take_along_axis(beam_ids, pos, axis=1)  # [B,E]
         hist = lax.dynamic_update_slice(
             hist, jnp.where(sel_ok, src, -2), (jnp.int32(0), (it % n_slots) * E))
@@ -175,24 +221,28 @@ def beam_search_layer(metric_name: str, vectors, sqnorms, tbl_ids, q, start_ids,
         dup = (eq & tri[None]).any(-1)
         valid = valid & ~in_beam & ~in_hist & ~dup
         nbr_c = jnp.where(valid, nbr, cap1 - 1)
-        # 4. score candidates
-        cvecs = vectors[nbr_c]  # [B,K,d]
-        sc = scores_gathered(metric_name, q, cvecs, sqnorms[nbr_c])
+        # 4. score candidates: blocked quantized store (one row per expanded node)
+        #    or the exact f32 row gather
+        if codec is not None:
+            sc = scores_codec(codec, q, src_c, qsq, qnorm)
+        else:
+            cvecs = vectors[nbr_c]  # [B,K,d]
+            sc = scores_gathered(metric_name, q, cvecs, sqnorms[nbr_c])
         sc = jnp.where(valid, sc, INF)
         new_ids = jnp.where(valid, nbr, -1)
         # 5. merge into beams
-        beam_ids, beam_d, beam_exp = _merge_beam(beam_ids, beam_d, beam_exp, new_ids, sc, ef)
+        beam_ids, beam_d = _merge_beam(beam_ids, beam_d, new_ids, sc, ef)
         if use_mask:
             passf = valid & mask[nbr_c]
-            r_ids, r_d, _ = _merge_beam(res_ids, res_d, None,
-                                        jnp.where(passf, nbr, -1), jnp.where(passf, sc, INF), ef)
+            r_ids, r_d = _merge_beam(res_ids, res_d, jnp.where(passf, nbr, -1),
+                                     jnp.where(passf, sc, INF), ef)
         else:
             r_ids, r_d = res_ids, res_d
-        return (it + 1, step_done, beam_ids, beam_d, beam_exp, r_ids, r_d, hist)
+        return (it + 1, step_done, beam_ids, beam_d, r_ids, r_d, hist)
 
-    state = (jnp.int32(0), done, beam_ids, beam_d, beam_exp, res_ids, res_d, hist)
+    state = (jnp.int32(0), done, beam_ids, beam_d, res_ids, res_d, hist)
     state = lax.while_loop(cond, body, state)
-    _, _, beam_ids, beam_d, _, res_ids, res_d, _ = state
+    _, _, beam_ids, beam_d, res_ids, res_d, _ = state
     if use_mask:
         return res_ids, res_d
     return beam_ids, beam_d
@@ -271,10 +321,23 @@ def greedy_min_descent(metric_name, vectors, sqnorms, layer_ids, q, pivot, pivot
 
 # --------------------------------------------------------------- top-level search ----
 
+# Termination slack used when a quantized codec is active and the caller didn't
+# pick one: quantization error on near-ties can otherwise trip the early-exit rule
+# an iteration or two before the true neighbors are reached.
+DEFAULT_CODEC_SLACK = 1.0
+
+
+def _resolve_slack(term_slack, codec) -> float:
+    if term_slack is not None:
+        return float(term_slack)
+    return DEFAULT_CODEC_SLACK if codec is not None else 1.0
+
 def search_program(g, q, mask, *, ef: int, knbn: int, expand: int, use_mask: bool,
-                   max_iters=None):
+                   max_iters=None, codec=None, term_slack: float = 1.0):
     """Full production search: greedy descent then beam search at the lowest
-    non-empty layer — reference ``search_filter`` (``src/hnsw.rs:1487-1599``)."""
+    non-empty layer — reference ``search_filter`` (``src/hnsw.rs:1487-1599``).
+    With a ``codec`` the beam traverses the quantized blocked store and the final
+    beam is re-scored against the exact f32 vectors before truncation to knbn."""
     B = q.shape[0]
     ev = g.vectors[g.entry][None, :]
     d0 = scores_gathered(g.metric_name, q, jnp.broadcast_to(ev[:, None, :], (B, 1, q.shape[1])),
@@ -288,17 +351,21 @@ def search_program(g, q, mask, *, ef: int, knbn: int, expand: int, use_mask: boo
         g.metric_name, g.vectors, g.sqnorms,
         g.layer_ids[layer0] if layer0 < g.num_layers else jnp.full((g.cap1, 1), -1, jnp.int32),
         q, pivot, d0, ef=max(ef, knbn), expand=expand, max_iters=max_iters,
-        mask=mask if use_mask else None)
+        mask=mask if use_mask else None, codec=codec, term_slack=term_slack)
+    if codec is not None:
+        ids, dists = exact_rerank(g.metric_name, g.vectors, g.sqnorms, q, ids,
+                                  min(max(ef, knbn), ids.shape[1]))
     return ids[:, :knbn], dists[:, :knbn]
 
 
 _search_program = jax.jit(search_program,
                           static_argnames=("ef", "knbn", "expand", "use_mask",
-                                           "max_iters"))
+                                           "max_iters", "term_slack"))
 
 
 def device_search_stream(hnsw, queries: np.ndarray, knbn: int, ef: int,
-                         batch: int = 4096, expand: int = 4, max_iters=None):
+                         batch: int = 4096, expand: int = 4, max_iters=None,
+                         term_slack: float | None = None):
     """Pipelined serving: dispatch batch i+1 before fetching batch i, so host
     transfers overlap device compute. Returns (ids, dists) over all queries — the
     sustained-throughput path for large query streams."""
@@ -309,6 +376,8 @@ def device_search_stream(hnsw, queries: np.ndarray, knbn: int, ef: int,
         q = q[None, :]
     nq = q.shape[0]
     g = hnsw.device_graph()
+    codec = hnsw.device_codec()
+    slack = _resolve_slack(term_slack, codec)
     mask = jnp.zeros((g.cap1,), bool)
     out_i = np.full((nq, knbn), -1, np.int64)
     out_d = np.full((nq, knbn), np.inf, np.float32)
@@ -321,7 +390,8 @@ def device_search_stream(hnsw, queries: np.ndarray, knbn: int, ef: int,
                 qb = np.concatenate([qb, np.repeat(qb[-1:], batch - (e - s), 0)])
             ids, dists = _search_program(g, jnp.asarray(qb), mask, ef=int(ef),
                                          knbn=int(knbn), expand=int(expand),
-                                         use_mask=False, max_iters=max_iters)
+                                         use_mask=False, max_iters=max_iters,
+                                         codec=codec, term_slack=slack)
             pending.append((s, e, ids, dists))
         while pending and (s is None or len(pending) > 1):
             ps, pe, ids, dists = pending.pop(0)
@@ -334,7 +404,8 @@ def device_search_stream(hnsw, queries: np.ndarray, knbn: int, ef: int,
 
 
 def device_search_batch(hnsw, queries: np.ndarray, knbn: int, ef: int, filter=None,
-                        expand: int = 4, max_iters=None):
+                        expand: int = 4, max_iters=None,
+                        term_slack: float | None = None):
     if max_iters is None:
         # measured on v5e: queries complete by ~ef/expand iterations; the uncapped
         # formula only burns tail iterations with everyone done-masked (22% QPS)
@@ -345,6 +416,7 @@ def device_search_batch(hnsw, queries: np.ndarray, knbn: int, ef: int, filter=No
         B = queries.shape[0]
         return np.full((B, knbn), -1, np.int64), np.full((B, knbn), np.inf, np.float32)
     g = hnsw.device_graph()
+    codec = hnsw.device_codec()
     q = np.asarray(queries, np.float32)
     if q.ndim == 1:
         q = q[None, :]
@@ -360,7 +432,8 @@ def device_search_batch(hnsw, queries: np.ndarray, knbn: int, ef: int, filter=No
         mask = jnp.zeros((g.cap1,), bool)  # placeholder, unused
     ids, dists = _search_program(g, jnp.asarray(q), mask, ef=int(ef), knbn=int(knbn),
                                  expand=int(expand), use_mask=filter is not None,
-                                 max_iters=max_iters)
+                                 max_iters=max_iters, codec=codec,
+                                 term_slack=_resolve_slack(term_slack, codec))
     ids = np.array(ids[:B])
     dists = np.array(dists[:B])
     ids[~np.isfinite(dists)] = -1

@@ -105,3 +105,52 @@ def test_batched_dot_metric(rng):
         kth = np.sort(truth[b])[9]
         hits += int((dists[b] <= kth + 1e-5).sum())
     assert hits / 80 >= 0.85
+
+
+def test_traversal_codec_matches_exact(rng):
+    """Forced i8 blocked-codec traversal + exact rerank returns (near-)identical
+    results to the exact f32 path — ids equal on unambiguous neighbors, distances
+    exact (the rerank re-scores against f32 vectors)."""
+    n, d, k = 3000, 24, 10
+    X = rng.standard_normal((n, d)).astype(np.float32)
+    Q = rng.standard_normal((16, d)).astype(np.float32)
+    h = Hnsw(max_nb_connection=16, max_elements=n, ef_construction=100, dist="L2")
+    h.parallel_insert(list(zip(X, range(n))), mode="device", batch_size=512)
+
+    h.set_traversal_codec(None)
+    ids_e, d_e = h.search_batch(Q, k, 64)
+    h.set_traversal_codec("i8")
+    assert h.device_codec() is not None
+    ids_c, d_c = h.search_batch(Q, k, 64)
+
+    truth = get_metric("L2").brute_force(Q, X)
+    hits_e = hits_c = 0
+    for b in range(len(Q)):
+        kth = np.sort(truth[b])[k - 1]
+        hits_e += int((d_e[b] <= kth + 1e-5).sum())
+        hits_c += int((d_c[b] <= kth + 1e-5).sum())
+    # codec path must not lose recall (same graph, rerank is exact)
+    assert hits_c >= hits_e - 2, (hits_c, hits_e)
+    # distances the two paths agree on shared ids must match to f32 exactly
+    common = ids_c[:, 0] == ids_e[:, 0]
+    assert common.mean() >= 0.9
+    np.testing.assert_allclose(d_c[common, 0], d_e[common, 0], rtol=1e-5)
+
+
+def test_traversal_codec_auto_policy(rng):
+    """auto -> off for small indexes, settable, and off for unsupported metrics."""
+    n, d = 300, 8
+    X = rng.random((n, d)).astype(np.float32)
+    h = Hnsw(max_nb_connection=8, max_elements=n, ef_construction=48, dist="L2")
+    for i, v in enumerate(X):
+        h.insert(v, i)
+    assert h.device_codec() is None  # auto: below CODEC_MIN_POINTS
+    h.set_traversal_codec("i8")
+    c = h.device_codec()
+    assert c is not None and c.blocks.dtype.name == "int8"
+    ids, dists = h.search_batch(X[:4], 3, 16)
+    assert (ids[:, 0] == np.arange(4)).all()
+    h2 = Hnsw(max_nb_connection=8, max_elements=n, ef_construction=48,
+              dist="Hamming", dtype=np.int32)
+    h2.set_traversal_codec("i8")  # accepted, but unsupported metric -> None
+    assert h2.device_codec() is None
