@@ -14,7 +14,10 @@ spread, so run-to-run variance is visible in the record itself.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...engine fields}.
 Environment knobs: BENCH_N (default 200000), BENCH_D (128), BENCH_M (24),
-BENCH_EFC (200), BENCH_BATCH (4096 build batch), BENCH_QBATCH (8192 query batch),
+BENCH_EFC (400), BENCH_SCALE (0.5 level scale — the reference's own best SIFT1M
+rows use scale=0.5, examples/ann-sift1m-128-euclidean.rs:30-44; efc=400/scale=0.5
+measured +0.005-0.008 recall-per-ef over efc=200/scale=1 at 1M),
+BENCH_BATCH (4096 build batch), BENCH_QBATCH (8192 query batch),
 BENCH_BUILD (device|native), BENCH_INTRINSIC (16), BENCH_RECALL (0.98),
 BENCH_EXPAND (4 beam expansion), BENCH_BLOCKS (5 timed blocks).
 """
@@ -49,7 +52,8 @@ def main():
     N = int(os.environ.get("BENCH_N", 200_000))
     d = int(os.environ.get("BENCH_D", 128))
     M = int(os.environ.get("BENCH_M", 24))
-    efc = int(os.environ.get("BENCH_EFC", 200))
+    efc = int(os.environ.get("BENCH_EFC", 400))
+    scale = float(os.environ.get("BENCH_SCALE", 0.5))
     BB = int(os.environ.get("BENCH_BATCH", 4096))
     QB = int(os.environ.get("BENCH_QBATCH", 8192))
     EXPAND = int(os.environ.get("BENCH_EXPAND", 4))
@@ -86,7 +90,8 @@ def main():
         kth[s:s + 128] = np.sqrt(np.maximum(part, 0.0))
 
     # build
-    log(f"[bench] building index: N={N} d={d} M={M} efC={efc} batch={BB}")
+    log(f"[bench] building index: N={N} d={d} M={M} efC={efc} scale={scale} "
+        f"batch={BB}")
     # ---- exact path: Pallas fused brute-force scan (recall 1.0 by construction) ----
     from hnsw_tpu.ops.pallas_topk import pallas_l2_topk, pad_corpus
     Xp, xsqp = pad_corpus(X, tn=2048)
@@ -144,11 +149,13 @@ def main():
         nh = NativeHnsw(max_nb_connection=M, max_elements=N, ef_construction=efc,
                         dist="L2")
         nh.set_keeping_pruned(True)
+        nh.modify_level_scale(scale)
         nh.parallel_insert(X, np.arange(N))
         h = nh.to_hnsw()
     else:
         h = Hnsw(max_nb_connection=M, max_elements=N, ef_construction=efc, dist="L2")
         h.set_keeping_pruned(True)
+        h.modify_level_scale(scale)
         h.parallel_insert(list(zip(X, range(N))), mode="device", batch_size=BB)
     build_s = time.time() - t0
     log(f"[bench] build done in {build_s:.1f}s ({N / build_s:.0f} pts/s)")

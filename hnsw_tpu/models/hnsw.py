@@ -600,14 +600,20 @@ class Hnsw:
     CODEC_MIN_POINTS = 32_768
     CODEC_MAX_BYTES = 8 << 30  # above this the blocks don't fit v5e HBM comfortably
 
-    def set_traversal_codec(self, kind):
+    def set_traversal_codec(self, kind, width=None):
         """Beam-traversal vector codec: ``"i8"`` (blocked int8 store + exact f32
         rerank — the fast path), ``"bf16"``, ``None`` (exact f32 gather), or
         ``"auto"`` (default: i8 for inner-product metrics once the index exceeds
-        CODEC_MIN_POINTS and the blocks fit CODEC_MAX_BYTES)."""
+        CODEC_MIN_POINTS and the blocks fit CODEC_MAX_BYTES).
+
+        ``width`` caps the blocked neighborhood to the nearest ``width`` layer-0
+        links per node (default: the full table width, 2*M)."""
         if kind not in ("i8", "bf16", "auto", None):
             raise ValueError(f"unknown codec kind {kind!r}")
+        if width is not None and width < 1:
+            raise ValueError(f"codec width must be >= 1, got {width}")
         self._codec_kind = kind
+        self._codec_width = width
         self._codec_cache = None
 
     def device_codec(self):
@@ -624,7 +630,9 @@ class Hnsw:
             kind = "i8"
         cache = getattr(self, "_codec_cache", None)
         if cache is None or cache[0] != self._version:
-            cache = (self._version, BeamCodec.build(self.device_graph(), kind=kind))
+            cache = (self._version,
+                     BeamCodec.build(self.device_graph(), kind=kind,
+                                     width=getattr(self, "_codec_width", None)))
             self._codec_cache = cache
         return cache[1]
 

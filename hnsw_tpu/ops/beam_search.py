@@ -73,34 +73,83 @@ def scores_gathered(metric_name: str, q: jax.Array, cvecs: jax.Array,
     return m.jnp_scores(q, cvecs)
 
 
-def _merge_beam(beam_ids, beam_d, new_ids, new_d, ef: int, exact: bool = False):
-    """(beam ∪ candidates) -> best ef, ascending. ``lax.approx_max_k`` rides the
-    TPU's PartialReduce unit (measured ~2x the throughput of sort-based ``top_k``
-    in-loop on v5e, identical recall at these shapes); on CPU it lowers to the exact
-    sort. ``exact=True`` forces ``lax.top_k`` — used for final result ordering."""
+def _merge_beam(beam_ids, beam_d, new_ids, new_d, ef: int):
+    """(beam ∪ candidates) -> best ef, ascending — EXACT, via a key-value sort.
+
+    ``lax.sort`` with the ids as a carried operand sorts both arrays in one pass
+    and needs no index recovery. Measured on v5e at [4096, 256]: the sort itself
+    costs ~the same as ``lax.approx_max_k``'s PartialReduce, but the approx path
+    must also ``take_along_axis`` the ids through the returned order — an
+    intra-row gather worth ~2.5 ms — making sort-pairs ~1.6x faster AND exact
+    (the earlier approx merge traded recall determinism for nothing)."""
     cat_ids = jnp.concatenate([beam_ids, new_ids], axis=1)
     cat_d = jnp.concatenate([beam_d, new_d], axis=1)
-    if exact:
-        neg, order = lax.top_k(-cat_d, ef)
-    else:
-        neg, order = lax.approx_max_k(-cat_d, ef)
-    return jnp.take_along_axis(cat_ids, order, axis=1), -neg
+    sd, si = lax.sort((cat_d, cat_ids), dimension=1, num_keys=1)
+    return si[:, :ef], sd[:, :ef]
 
 
-def scores_codec(codec, q, src_c, qsq, qnorm):
+def quantize_queries(q):
+    """Per-query symmetric int8 quantization: (q_i8 [B,d], scale [B,1] f32) with
+    q ~= q_i8 * scale. Precomputed once per batch for the int8 codec dot."""
+    qf = q.astype(jnp.float32)
+    amax = jnp.maximum(jnp.abs(qf).max(axis=-1, keepdims=True), 1e-12)
+    qs = amax / 127.0
+    qi = jnp.clip(jnp.round(qf / qs), -127, 127).astype(jnp.int8)
+    return qi, qs
+
+
+# Fused Pallas score kernel gate: on for TPU-like backends (the kernel keeps the
+# dequant-multiply-reduce chain VMEM-resident — the XLA form streams [B,K,d]
+# intermediates through HBM); off on CPU, where the jnp path is the exact oracle.
+USE_PALLAS_SCORES = True
+
+
+def _pallas_scores_ok(B: int) -> bool:
+    if not USE_PALLAS_SCORES:
+        return False
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        return False
+    return backend != "cpu" and B % 8 == 0
+
+
+def scores_codec(codec, q, src_c, qsq, qnorm, q_i8=None, q_i8_scale=None):
     """Approximate distances of each query to the E expanded nodes' full
     neighborhoods, via the blocked quantized store: [B,E] block rows -> [B,E*M0].
     One contiguous ~M0*d-byte gather row per expanded node instead of M0 scattered
     vector rows — the measured v5e gather is row-bound, so this is the hot-path win.
+
+    On TPU the post-gather chain (dequant, inner product, norm fixups) runs as a
+    fused Pallas kernel (``pallas_codec_scores``); the jnp path below is the CPU
+    oracle and the fallback for unsupported shapes. With int8 blocks and a
+    pre-quantized query (``q_i8``), the jnp inner product runs int8 x int8 with
+    int32 accumulation; traversal is approximate either way and the caller's
+    ``exact_rerank`` restores exact distances.
     """
     B = q.shape[0]
     E = src_c.shape[1]
     blk = codec.blocks[src_c]  # [B, E, M0*d]
-    cb = blk.reshape(B, E * codec.M0, codec.dim)
-    csq = codec.blocks_sq[src_c].reshape(B, E * codec.M0)
-    ip = jnp.einsum("bd,bkd->bk", q.astype(jnp.bfloat16), cb.astype(jnp.bfloat16),
-                    preferred_element_type=jnp.float32) * codec.scale
+    K = E * codec.M0
+    csq = codec.blocks_sq[src_c].reshape(B, K)
     m = codec.metric_name
+    if blk.dtype == jnp.int8 and _pallas_scores_ok(B):
+        from .pallas_scores import pallas_codec_scores
+        form = ("l2" if m in ("L2", "DistL2")
+                else "dot" if m in ("Dot", "DistDot") else "cosine")
+        qsn = qsq if form == "l2" else qnorm
+        qt = 16 if B % 16 == 0 else 8
+        return pallas_codec_scores(q, blk.reshape(B, K * codec.dim), csq, qsn,
+                                   codec.scale, form=form, qt=qt)
+    cb = blk.reshape(B, K, codec.dim)
+    if q_i8 is not None and cb.dtype == jnp.int8:
+        ip = jnp.einsum("bd,bkd->bk", q_i8, cb,
+                        preferred_element_type=jnp.int32)
+        ip = ip.astype(jnp.float32) * (q_i8_scale * codec.scale)
+    else:
+        ip = jnp.einsum("bd,bkd->bk", q.astype(jnp.bfloat16),
+                        cb.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32) * codec.scale
     if m in ("L2", "DistL2"):
         return jnp.sqrt(jnp.maximum(qsq - 2.0 * ip + csq, 0.0))
     if m in ("Dot", "DistDot"):
@@ -184,6 +233,10 @@ def beam_search_layer(metric_name: str, vectors, sqnorms, tbl_ids, q, start_ids,
            < jax.lax.broadcasted_iota(jnp.int32, (K, K), 0))  # tri[k, j] = j < k
     qsq = (q.astype(jnp.float32) ** 2).sum(-1)[:, None]
     qnorm = jnp.sqrt(jnp.maximum(qsq, 1e-20))
+    if codec is not None and codec.blocks.dtype == jnp.int8:
+        q_i8, q_i8_scale = quantize_queries(q)  # once per batch, outside the loop
+    else:
+        q_i8 = q_i8_scale = None
 
     def cond(state):
         it, done, *_ = state
@@ -224,7 +277,7 @@ def beam_search_layer(metric_name: str, vectors, sqnorms, tbl_ids, q, start_ids,
         # 4. score candidates: blocked quantized store (one row per expanded node)
         #    or the exact f32 row gather
         if codec is not None:
-            sc = scores_codec(codec, q, src_c, qsq, qnorm)
+            sc = scores_codec(codec, q, src_c, qsq, qnorm, q_i8, q_i8_scale)
         else:
             cvecs = vectors[nbr_c]  # [B,K,d]
             sc = scores_gathered(metric_name, q, cvecs, sqnorms[nbr_c])
@@ -333,11 +386,18 @@ def _resolve_slack(term_slack, codec) -> float:
     return DEFAULT_CODEC_SLACK if codec is not None else 1.0
 
 def search_program(g, q, mask, *, ef: int, knbn: int, expand: int, use_mask: bool,
-                   max_iters=None, codec=None, term_slack: float = 1.0):
+                   max_iters=None, codec=None, term_slack: float = 1.0,
+                   rerank: Optional[int] = None):
     """Full production search: greedy descent then beam search at the lowest
     non-empty layer — reference ``search_filter`` (``src/hnsw.rs:1487-1599``).
     With a ``codec`` the beam traverses the quantized blocked store and the final
-    beam is re-scored against the exact f32 vectors before truncation to knbn."""
+    beam is re-scored against the exact f32 vectors before truncation to knbn.
+    ``mask`` may be None when ``use_mask`` is False (saves a per-call [cap1]
+    host->device upload over the axon tunnel).
+    ``rerank`` caps the exact re-score to the best ``rerank`` approx-ranked beam
+    entries (>= knbn; default: the whole beam) — the final f32 row gather is a
+    real cost at large corpus sizes and int8 traversal ranks are accurate enough
+    that a margin of ~2-3x knbn loses nothing measurable."""
     B = q.shape[0]
     ev = g.vectors[g.entry][None, :]
     d0 = scores_gathered(g.metric_name, q, jnp.broadcast_to(ev[:, None, :], (B, 1, q.shape[1])),
@@ -347,28 +407,63 @@ def search_program(g, q, mask, *, ef: int, knbn: int, expand: int, use_mask: boo
     pivot, d0 = greedy_scan_descent(g.metric_name, g.vectors, g.sqnorms, g.layer_ids,
                                     q, pivot, d0, top_layer=g.num_layers - 1,
                                     stop_layer=max(layer0, 0))
+    tbl = (g.layer_ids[layer0] if layer0 < g.num_layers
+           else jnp.full((g.cap1, 1), -1, jnp.int32))
+    if codec is not None and codec.M0 < tbl.shape[1]:
+        tbl = tbl[:, :codec.M0]  # width-capped codec: traverse the same slice
     ids, dists = beam_search_layer(
-        g.metric_name, g.vectors, g.sqnorms,
-        g.layer_ids[layer0] if layer0 < g.num_layers else jnp.full((g.cap1, 1), -1, jnp.int32),
+        g.metric_name, g.vectors, g.sqnorms, tbl,
         q, pivot, d0, ef=max(ef, knbn), expand=expand, max_iters=max_iters,
         mask=mask if use_mask else None, codec=codec, term_slack=term_slack)
     if codec is not None:
-        ids, dists = exact_rerank(g.metric_name, g.vectors, g.sqnorms, q, ids,
-                                  min(max(ef, knbn), ids.shape[1]))
+        R = ids.shape[1] if rerank is None else max(int(rerank), knbn)
+        R = min(R, ids.shape[1])
+        ids, dists = exact_rerank(g.metric_name, g.vectors, g.sqnorms, q,
+                                  ids[:, :R], min(max(ef, knbn), R))
     return ids[:, :knbn], dists[:, :knbn]
 
 
 _search_program = jax.jit(search_program,
                           static_argnames=("ef", "knbn", "expand", "use_mask",
-                                           "max_iters", "term_slack"))
+                                           "max_iters", "term_slack", "rerank"))
+
+
+def search_program_super(g, qs, mask, *, ef: int, knbn: int, expand: int,
+                         use_mask: bool, max_iters=None, codec=None,
+                         term_slack: float = 1.0, rerank: Optional[int] = None):
+    """S sub-batches in ONE device program: ``lax.map`` over ``qs [S, B, d]``.
+
+    The axon tunnel costs ~30 ms per host round trip (upload / dispatch / fetch),
+    so a B=4096 batch pays ~90-120 ms of pure latency — more than the beam loop
+    itself at 1M. Scanning S sub-batches inside one jitted call amortizes those
+    round trips S-fold while keeping the workspace at one sub-batch (the scan
+    reuses it), which is what bounds HBM at large corpus sizes."""
+    def one(q):
+        return search_program(g, q, mask, ef=ef, knbn=knbn, expand=expand,
+                              use_mask=use_mask, max_iters=max_iters, codec=codec,
+                              term_slack=term_slack, rerank=rerank)
+    return lax.map(one, qs)
+
+
+_search_program_super = jax.jit(search_program_super,
+                                static_argnames=("ef", "knbn", "expand",
+                                                 "use_mask", "max_iters",
+                                                 "term_slack", "rerank"))
 
 
 def device_search_stream(hnsw, queries: np.ndarray, knbn: int, ef: int,
                          batch: int = 4096, expand: int = 4, max_iters=None,
-                         term_slack: float | None = None):
-    """Pipelined serving: dispatch batch i+1 before fetching batch i, so host
+                         term_slack: float | None = None, super_batches: int = 1,
+                         rerank: int | None = None):
+    """Pipelined serving: dispatch work unit i+1 before fetching unit i, so host
     transfers overlap device compute. Returns (ids, dists) over all queries — the
-    sustained-throughput path for large query streams."""
+    sustained-throughput path for large query streams.
+
+    ``super_batches`` > 1 runs groups of S sub-batches as ONE device program
+    (``search_program_super``), paying host round-trip latency once per group
+    while HBM workspace stays at one ``batch`` (the in-program scan reuses it).
+    Measured neutral on the axon tunnel (its pipelining already hides the RTTs)
+    — useful for high-latency links or host-constrained serving; default 1."""
     if max_iters is None:
         max_iters = max(8, int(ef) // int(expand) + 2)
     q = np.asarray(queries, np.float32)
@@ -378,22 +473,44 @@ def device_search_stream(hnsw, queries: np.ndarray, knbn: int, ef: int,
     g = hnsw.device_graph()
     codec = hnsw.device_codec()
     slack = _resolve_slack(term_slack, codec)
-    mask = jnp.zeros((g.cap1,), bool)
     out_i = np.full((nq, knbn), -1, np.int64)
     out_d = np.full((nq, knbn), np.inf, np.float32)
-    pending = []  # (start, end, device ids, device dists)
-    for s in list(range(0, nq, batch)) + [None]:
-        if s is not None:
+    S = max(1, int(super_batches))
+    SB = batch * S
+    work = []  # (start, end, is_super)
+    s = 0
+    while s < nq:
+        if S > 1 and nq - s >= SB:
+            work.append((s, s + SB, True))
+            s += SB
+        else:
             e = min(s + batch, nq)
-            qb = q[s:e]
-            if e - s < batch:  # pad the tail batch
-                qb = np.concatenate([qb, np.repeat(qb[-1:], batch - (e - s), 0)])
-            ids, dists = _search_program(g, jnp.asarray(qb), mask, ef=int(ef),
-                                         knbn=int(knbn), expand=int(expand),
-                                         use_mask=False, max_iters=max_iters,
-                                         codec=codec, term_slack=slack)
-            pending.append((s, e, ids, dists))
-        while pending and (s is None or len(pending) > 1):
+            work.append((s, e, False))
+            s = e
+    pending = []  # (start, end, device ids, device dists)
+    for item in work + [None]:
+        if item is not None:
+            ws, we, is_super = item
+            qb = q[ws:we]
+            if is_super:
+                ids, dists = _search_program_super(
+                    g, jnp.asarray(qb.reshape(S, batch, -1)), None, ef=int(ef),
+                    knbn=int(knbn), expand=int(expand), use_mask=False,
+                    max_iters=max_iters, codec=codec, term_slack=slack,
+                    rerank=rerank)
+                ids = ids.reshape(SB, -1)
+                dists = dists.reshape(SB, -1)
+            else:
+                if we - ws < batch:  # pad the tail batch
+                    qb = np.concatenate(
+                        [qb, np.repeat(qb[-1:], batch - (we - ws), 0)])
+                ids, dists = _search_program(g, jnp.asarray(qb), None, ef=int(ef),
+                                             knbn=int(knbn), expand=int(expand),
+                                             use_mask=False, max_iters=max_iters,
+                                             codec=codec, term_slack=slack,
+                                             rerank=rerank)
+            pending.append((ws, we, ids, dists))
+        while pending and (item is None or len(pending) > 1):
             ps, pe, ids, dists = pending.pop(0)
             ids_h = np.array(ids)[: pe - ps]
             d_h = np.array(dists)[: pe - ps]
@@ -429,7 +546,7 @@ def device_search_batch(hnsw, queries: np.ndarray, knbn: int, ef: int, filter=No
         m[: hnsw._nb_point] = filter_mask(filter, hnsw._origin[: hnsw._nb_point])
         mask = jnp.asarray(m)
     else:
-        mask = jnp.zeros((g.cap1,), bool)  # placeholder, unused
+        mask = None  # no per-call [cap1] upload when unfiltered
     ids, dists = _search_program(g, jnp.asarray(q), mask, ef=int(ef), knbn=int(knbn),
                                  expand=int(expand), use_mask=filter is not None,
                                  max_iters=max_iters, codec=codec,

@@ -104,11 +104,21 @@ class BeamCodec:
     SUPPORTED = ("L2", "DistL2", "Dot", "DistDot", "Cosine", "DistCosine")
 
     @classmethod
-    def build(cls, g: "GraphArrays", kind: str = "i8", layer: int = 0) -> "BeamCodec":
-        """Device-side construction from a graph snapshot (one big gather)."""
+    def build(cls, g: "GraphArrays", kind: str = "i8", layer: int = 0,
+              width: Optional[int] = None) -> "BeamCodec":
+        """Device-side construction from a graph snapshot (one big gather).
+
+        ``width`` caps the stored neighborhood to the first ``width`` table entries
+        (per-row neighbor lists are kept distance-sorted by construction, so this
+        keeps the nearest links). Traversal then expands ``width`` neighbors per
+        node instead of the full 2*M — fewer gather bytes and a smaller merge
+        frontier, at a small recall-per-ef cost. Callers must beam-search over the
+        identically sliced layer table (``search_program`` does)."""
         if g.metric_name not in cls.SUPPORTED:
             raise ValueError(f"codec unsupported for metric {g.metric_name}")
         tbl = g.layer_ids[layer]
+        if width is not None and width < tbl.shape[1]:
+            tbl = tbl[:, :width]
         cap1, M0 = tbl.shape
         d = g.vectors.shape[1]
         v = g.vectors.astype(jnp.float32)

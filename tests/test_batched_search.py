@@ -154,3 +154,73 @@ def test_traversal_codec_auto_policy(rng):
               dist="Hamming", dtype=np.int32)
     h2.set_traversal_codec("i8")  # accepted, but unsupported metric -> None
     assert h2.device_codec() is None
+
+
+def test_traversal_codec_width_cap(rng):
+    """Width-capped codec: blocks shrink to the nearest-W links and the search
+    traverses the identically sliced table. Capping drops the FARTHEST links
+    (rows are ascending-distance), i.e. the long-range shortcuts, so recall
+    degrades — measured -0.04 recall@10 at 1M with W=32 of 48 — which is why the
+    cap is opt-in (memory-bound deployments), never the default. The test asserts
+    the mechanics, not recall parity."""
+    n, d, k = 3000, 24, 10
+    X = rng.standard_normal((n, d)).astype(np.float32)
+    Q = rng.standard_normal((16, d)).astype(np.float32)
+    h = Hnsw(max_nb_connection=16, max_elements=n, ef_construction=100, dist="L2")
+    h.set_keeping_pruned(True)
+    h.parallel_insert(list(zip(X, range(n))), mode="device", batch_size=512)
+
+    h.set_traversal_codec("i8")
+    full = h.device_codec()
+    ids_f, d_f = h.search_batch(Q, k, 64)
+    W = 16
+    h.set_traversal_codec("i8", width=W)
+    capped = h.device_codec()
+    assert capped.M0 == W
+    assert capped.blocks.shape[1] == W * d
+    assert capped.nbytes < full.nbytes
+    ids_c, d_c = h.search_batch(Q, k, 64)
+
+    truth = get_metric("L2").brute_force(Q, X)
+    hits_f = hits_c = 0
+    for b in range(len(Q)):
+        kth = np.sort(truth[b])[k - 1]
+        hits_f += int((d_f[b] <= kth + 1e-5).sum())
+        hits_c += int((d_c[b] <= kth + 1e-5).sum())
+    # degraded but functional traversal; distances of agreeing ids stay exact
+    assert hits_c >= int(0.5 * hits_f), (hits_c, hits_f)
+    with pytest.raises(ValueError):
+        h.set_traversal_codec("i8", width=0)
+
+
+def test_pallas_codec_scores_kernel(rng):
+    """The fused score kernel (interpret mode) matches the fp32 oracle for all
+    three distance forms."""
+    import jax.numpy as jnp
+    from hnsw_tpu.ops.pallas_scores import pallas_codec_scores
+
+    B, K, d = 16, 24, 32
+    q = rng.standard_normal((B, d)).astype(np.float32)
+    blk = rng.integers(-127, 128, (B, K * d)).astype(np.int8)
+    scale = jnp.float32(0.017)
+    bf = blk.reshape(B, K, d).astype(np.float32) * 0.017
+    csq = (bf ** 2).sum(-1).astype(np.float32)
+    qsq = (q ** 2).sum(-1, keepdims=True)
+    qnorm = np.sqrt(qsq)
+    ip = np.einsum("bd,bkd->bk", q, bf)
+
+    out = pallas_codec_scores(jnp.asarray(q), jnp.asarray(blk), jnp.asarray(csq),
+                              jnp.asarray(qsq), scale, form="l2", qt=8,
+                              interpret=True)
+    np.testing.assert_allclose(np.array(out),
+                               np.sqrt(np.maximum(qsq - 2 * ip + csq, 0)),
+                               rtol=1e-4, atol=1e-4)
+    out = pallas_codec_scores(jnp.asarray(q), jnp.asarray(blk),
+                              jnp.asarray(csq * 0), jnp.asarray(qsq), scale,
+                              form="dot", qt=8, interpret=True)
+    np.testing.assert_allclose(np.array(out), 1.0 - ip, rtol=1e-4, atol=1e-4)
+    out = pallas_codec_scores(jnp.asarray(q), jnp.asarray(blk),
+                              jnp.asarray(csq * 0), jnp.asarray(qnorm), scale,
+                              form="cosine", qt=8, interpret=True)
+    np.testing.assert_allclose(np.array(out), 1.0 - ip / qnorm, rtol=1e-4,
+                               atol=1e-4)
