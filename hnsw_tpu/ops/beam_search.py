@@ -104,14 +104,18 @@ def quantize_queries(q):
 USE_PALLAS_SCORES = True
 
 
-def _pallas_scores_ok(B: int) -> bool:
+def _pallas_scores_ok(B: int, d: int) -> bool:
     if not USE_PALLAS_SCORES:
         return False
     try:
         backend = jax.default_backend()
     except Exception:
         return False
-    return backend != "cpu" and B % 8 == 0
+    # d must be a whole number of 128-wide lanes: the kernel reshapes
+    # [QT, K*d] -> [QT, K, d], and Mosaic cannot split a lane dimension on a
+    # non-128 boundary (d=25 glove blocks fail to lower with an HTTP 500 from
+    # the remote Mosaic compiler).
+    return backend != "cpu" and B % 8 == 0 and d % 128 == 0
 
 
 def scores_codec(codec, q, src_c, qsq, qnorm, q_i8=None, q_i8_scale=None):
@@ -133,7 +137,7 @@ def scores_codec(codec, q, src_c, qsq, qnorm, q_i8=None, q_i8_scale=None):
     K = E * codec.M0
     csq = codec.blocks_sq[src_c].reshape(B, K)
     m = codec.metric_name
-    if blk.dtype == jnp.int8 and _pallas_scores_ok(B):
+    if blk.dtype == jnp.int8 and _pallas_scores_ok(B, codec.dim):
         from .pallas_scores import pallas_codec_scores
         form = ("l2" if m in ("L2", "DistL2")
                 else "dot" if m in ("Dot", "DistDot") else "cosine")
@@ -398,6 +402,7 @@ def search_program(g, q, mask, *, ef: int, knbn: int, expand: int, use_mask: boo
     entries (>= knbn; default: the whole beam) — the final f32 row gather is a
     real cost at large corpus sizes and int8 traversal ranks are accurate enough
     that a margin of ~2-3x knbn loses nothing measurable."""
+    q = q.astype(jnp.float32)  # f16/bf16 query ingest: all math stays f32
     B = q.shape[0]
     ev = g.vectors[g.entry][None, :]
     d0 = scores_gathered(g.metric_name, q, jnp.broadcast_to(ev[:, None, :], (B, 1, q.shape[1])),
@@ -454,10 +459,16 @@ _search_program_super = jax.jit(search_program_super,
 def device_search_stream(hnsw, queries: np.ndarray, knbn: int, ef: int,
                          batch: int = 4096, expand: int = 4, max_iters=None,
                          term_slack: float | None = None, super_batches: int = 1,
-                         rerank: int | None = None):
+                         rerank: int | None = None, query_dtype=None):
     """Pipelined serving: dispatch work unit i+1 before fetching unit i, so host
     transfers overlap device compute. Returns (ids, dists) over all queries — the
     sustained-throughput path for large query streams.
+
+    ``query_dtype="f16"`` uploads queries as float16 (all device math stays
+    f32): halves the host->device query bytes — the serving bottleneck on
+    narrow links (the axon tunnel moves ~22 MB/s, capping f32/128d ingest at
+    ~40k QPS). ~0.05% query rounding; recall deltas are measurable, not hidden
+    (ground truth is scored against the original f32 queries).
 
     ``super_batches`` > 1 runs groups of S sub-batches as ONE device program
     (``search_program_super``), paying host round-trip latency once per group
@@ -469,6 +480,10 @@ def device_search_stream(hnsw, queries: np.ndarray, knbn: int, ef: int,
     q = np.asarray(queries, np.float32)
     if q.ndim == 1:
         q = q[None, :]
+    if query_dtype in ("f16", "float16", np.float16):
+        q = q.astype(np.float16)
+    elif query_dtype not in (None, "f32", "float32", np.float32):
+        raise ValueError(f"unsupported query_dtype {query_dtype!r}")
     nq = q.shape[0]
     g = hnsw.device_graph()
     codec = hnsw.device_codec()
