@@ -502,36 +502,68 @@ def device_search_stream(hnsw, queries: np.ndarray, knbn: int, ef: int,
             e = min(s + batch, nq)
             work.append((s, e, False))
             s = e
+    # Upload prefetcher: jnp.asarray is a SYNCHRONOUS host->device transfer on
+    # this stack (~90 ms for a 2 MB batch over the axon tunnel), and it was
+    # serializing with compute — the device sat idle during every upload. A
+    # daemon thread stages the next 2 uploads while the main thread dispatches
+    # and fetches (the transfer releases the GIL); measured ~1.5-2x stream
+    # throughput at 1M where upload and compute are comparable.
+    import queue as _queue
+    import threading
+
+    staged = _queue.Queue(maxsize=2)
+
+    def _uploader():
+        try:
+            for ws, we, is_super in work:
+                qb = q[ws:we]
+                if is_super:
+                    dev = jnp.asarray(qb.reshape(S, batch, -1))
+                else:
+                    if we - ws < batch:  # pad the tail batch
+                        qb = np.concatenate(
+                            [qb, np.repeat(qb[-1:], batch - (we - ws), 0)])
+                    dev = jnp.asarray(qb)
+                staged.put((ws, we, is_super, dev))
+        except Exception as e:  # surface in the consumer
+            staged.put(e)
+        staged.put(None)
+
+    threading.Thread(target=_uploader, daemon=True).start()
     pending = []  # (start, end, device ids, device dists)
-    for item in work + [None]:
-        if item is not None:
-            ws, we, is_super = item
-            qb = q[ws:we]
+    done_staging = False
+    while True:
+        item = None if done_staging else staged.get()
+        if isinstance(item, Exception):
+            raise item
+        if item is None:
+            done_staging = True
+        else:
+            ws, we, is_super, dev = item
             if is_super:
                 ids, dists = _search_program_super(
-                    g, jnp.asarray(qb.reshape(S, batch, -1)), None, ef=int(ef),
+                    g, dev, None, ef=int(ef),
                     knbn=int(knbn), expand=int(expand), use_mask=False,
                     max_iters=max_iters, codec=codec, term_slack=slack,
                     rerank=rerank)
                 ids = ids.reshape(SB, -1)
                 dists = dists.reshape(SB, -1)
             else:
-                if we - ws < batch:  # pad the tail batch
-                    qb = np.concatenate(
-                        [qb, np.repeat(qb[-1:], batch - (we - ws), 0)])
-                ids, dists = _search_program(g, jnp.asarray(qb), None, ef=int(ef),
+                ids, dists = _search_program(g, dev, None, ef=int(ef),
                                              knbn=int(knbn), expand=int(expand),
                                              use_mask=False, max_iters=max_iters,
                                              codec=codec, term_slack=slack,
                                              rerank=rerank)
             pending.append((ws, we, ids, dists))
-        while pending and (item is None or len(pending) > 1):
+        while pending and (done_staging or len(pending) > 1):
             ps, pe, ids, dists = pending.pop(0)
             ids_h = np.array(ids)[: pe - ps]
             d_h = np.array(dists)[: pe - ps]
             ids_h[~np.isfinite(d_h)] = -1
             out_i[ps:pe] = ids_h
             out_d[ps:pe] = d_h
+        if done_staging and not pending:
+            break
     return out_i, out_d
 
 

@@ -74,3 +74,10 @@ def pallas_codec_scores(q, blk, csq, qsq_or_norm, scale, form: str = "l2",
                                       transcendentals=0),
         interpret=interpret,
     )(scale.reshape(1, 1), q.astype(jnp.float32), blk, csq, qsq_or_norm)
+
+
+# NOTE (measured, v5e): folding the revisit-suppression masks into this kernel
+# (beam/history membership + intra-step dup via [QT,K,K] broadcast-compares in
+# Mosaic) ran 3x SLOWER than leaving them to XLA (17.4 vs 5.5 ms/iter at
+# B=4096, identical beam ids) — Mosaic lowers the non-128-aligned K=192
+# broadcast reductions poorly. The masks stay in beam_search.beam_search_layer.
