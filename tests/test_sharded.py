@@ -108,3 +108,46 @@ def test_mesh_build_product_path(rng, mesh8):
     assert hits / (24 * k) >= 0.9, hits / (24 * k)
     ids2, _ = sh.search_batch(X[:32], 1, 24)
     assert sum(1 for i in range(32) if int(ids2[i, 0]) == i) >= 31
+
+
+def test_mesh_build_uneven_shards(rng, mesh8):
+    """n not divisible by n_shards: round-robin buckets differ by one; the mesh
+    rounds pad internally and every point must remain searchable."""
+    n, d, k = 3001, 12, 5
+    X = rng.random((n, d)).astype(np.float32)
+    sh = ShardedHnsw(mesh=mesh8, max_nb_connection=10, max_elements=n // 8 + 9,
+                     ef_construction=64, dist="L2")
+    sh.parallel_insert(list(zip(X, range(n))), mode="mesh", batch_size=128)
+    assert len(sh) == n
+    sizes = sorted(s._nb_point for s in sh.shards)
+    assert sizes[-1] - sizes[0] <= 1 and sum(sizes) == n
+    # the remainder point (external id n-1) is findable
+    ids, dists = sh.search_batch(X[n - 1: n], 1, 24)
+    assert int(ids[0, 0]) == n - 1
+    Q = rng.random((16, d)).astype(np.float32)
+    ids, dists = sh.search_batch(Q, k, 32)
+    truth = get_metric("L2").brute_force(Q, X)
+    hits = 0
+    for b in range(16):
+        kth = np.sort(truth[b])[k - 1]
+        hits += int((dists[b] <= kth + 1e-6).sum())
+    assert hits / (16 * k) >= 0.85, hits / (16 * k)
+
+
+def test_mesh_build_dot_metric(rng, mesh8):
+    """Mesh build + merged search under an inner-product metric (the merge
+    compares raw Dot distances across shards — ordering must survive)."""
+    from hnsw_tpu.ops.distances import l2_normalize
+    n, d, k = 2048, 12, 5
+    X = l2_normalize(rng.standard_normal((n, d)).astype(np.float32))
+    sh = ShardedHnsw(mesh=mesh8, max_nb_connection=10, max_elements=n // 8 + 8,
+                     ef_construction=64, dist="Dot")
+    sh.parallel_insert(list(zip(X, range(n))), mode="mesh", batch_size=128)
+    Q = l2_normalize(rng.standard_normal((12, d)).astype(np.float32))
+    ids, dists = sh.search_batch(Q, k, 32)
+    truth = get_metric("Dot").brute_force(Q, X)
+    hits = 0
+    for b in range(12):
+        kth = np.sort(truth[b])[k - 1]
+        hits += int((dists[b] <= kth + 1e-5).sum())
+    assert hits / (12 * k) >= 0.8, hits / (12 * k)
