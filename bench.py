@@ -87,7 +87,10 @@ def main():
     # loses ~1e-3 relative precision to cancellation, enough to mis-rank near-ties
     # and deflate measured recall by several points. Recall is scored on the first
     # NQ_GT queries (the stream still serves all QB).
-    NQ_GT = min(QB, 4096)
+    # fp64 GT cost is O(NQ_GT * N) on the single host core (~25 min at 1M with
+    # 4096 queries); 1024 queries bound the recall estimate's std error below
+    # ~0.004 — plenty against a 0.98 floor — so large corpora use fewer.
+    NQ_GT = min(QB, 4096 if N <= 400_000 else 1024)
     log("[bench] computing ground truth (fp64) ...")
     X64 = X.astype(np.float64)
     xsq64 = (X64 * X64).sum(-1)
@@ -102,12 +105,13 @@ def main():
     log(f"[bench] building index: N={N} d={d} M={M} efC={efc} scale={scale} "
         f"batch={BB}")
     # ---- exact path: Pallas fused brute-force scan (recall 1.0 by construction) ----
-    from hnsw_tpu.ops.pallas_topk import pallas_l2_topk, pad_corpus
-    Xp, xsqp = pad_corpus(X, tn=2048)
+    from hnsw_tpu.ops.pallas_topk import pallas_l2_topk, pad_corpus, pick_tn
+    TN = pick_tn(d)
+    Xp, xsqp = pad_corpus(X, tn=TN)
     Xpd, xsqd = jnp.asarray(Xp), jnp.asarray(xsqp)
     QB_BF = 512
     Qbf = jnp.asarray(Q[:QB_BF])
-    dd_bf, ids_bf = pallas_l2_topk(Qbf, Xpd, xsqd, k, tn=2048, group=16)
+    dd_bf, ids_bf = pallas_l2_topk(Qbf, Xpd, xsqd, k, tn=TN, group=TN // 128)
     np.array(ids_bf)
 
     def median_blocks(run_once, qcount, blocks=BLOCKS, min_block_s=2.0):
@@ -128,7 +132,7 @@ def main():
         return med, spread
 
     def bf_once():
-        _, ids = pallas_l2_topk(Qbf, Xpd, xsqd, k, tn=2048, group=16)
+        _, ids = pallas_l2_topk(Qbf, Xpd, xsqd, k, tn=TN, group=TN // 128)
         np.array(ids)  # axon's block_until_ready is a no-op; a fetch forces completion
 
     bf_qps, bf_spread = median_blocks(bf_once, QB_BF)

@@ -41,7 +41,7 @@ def _tile_kernel(q_ref, xsq_ref, x_ref, outd_ref, outi_ref, *, G: int, TN: int):
     x = x_ref[:]  # [TN, d]
     g = jax.lax.dot_general(q, x, dimension_numbers=(((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)  # [B, TN]
-    d2 = xsq_ref[:].reshape(1, TN) - 2.0 * g  # |q|^2 added by the caller at the end
+    d2 = xsq_ref[0] - 2.0 * g  # [1, TN] broadcast; |q|^2 added by the caller at the end
     B = d2.shape[0]
     S = TN // G  # group size
     # STRIDED groups (group g = columns {g, g+G, ...}): the [B, S, G] reshape keeps
@@ -81,7 +81,12 @@ def pallas_l2_topk(q, X, xsq, k: int, tn: int = 4096, group: int = 32,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((B, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tn,), lambda i: (i,), memory_space=pltpu.VMEM),
+            # xsq ships as [tiles, 1, tn]: a flat (tn,) block at tn<1024 trips
+            # an XLA-vs-Mosaic 1-D tiling mismatch, and a [tiles, tn] block of
+            # (1, tn) violates the last-two-dims-(8,128)-divisible rule; the
+            # extra unit dim makes the trailing block dims (1, tn) legal.
+            pl.BlockSpec((1, 1, tn), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((tn, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -96,7 +101,7 @@ def pallas_l2_topk(q, X, xsq, k: int, tn: int = 4096, group: int = 32,
             flops=2 * B * N * d, bytes_accessed=N * d * 4 + B * d * 4,
             transcendentals=0),
         interpret=interpret,  # CPU tests run the kernel interpreted
-    )(qf, xsq, X.astype(jnp.float32))
+    )(qf, xsq.reshape(n_tiles, 1, tn), X.astype(jnp.float32))
     cd = jnp.moveaxis(outd, 0, 1).reshape(B, -1)  # [B, tiles*2G]
     ci = jnp.moveaxis(outi, 0, 1).reshape(B, -1)
     neg, pos = jax.lax.top_k(-cd, k)
@@ -116,3 +121,20 @@ def pad_corpus(X: np.ndarray, tn: int = 4096):
     xsq = (Xp.astype(np.float64) ** 2).sum(-1).astype(np.float32)
     xsq[N:] = np.float32(3.0e38)
     return Xp, xsq
+
+
+def pick_tn(d: int) -> int:
+    """Corpus tile rows for a given dimension. The kernel's scoped VMEM scales
+    with tn*d (the X tile) plus O(B*tn) score temps: tn=2048 fits comfortably at
+    d=128 (~14 MB of the 16 MB budget) but OOMs at d=784 (measured 20.5 MB);
+    halve the tile as d grows. (The axon remote compiler also dislikes very
+    large grids, so don't go below 512 rows without need.)
+
+    Callers must keep ``group = tn // 128`` so the per-group lane dimension
+    G = tn/group stays 128 — other G values are an unsupported Mosaic shape
+    cast (measured at G=32)."""
+    if d <= 256:
+        return 2048
+    if d <= 512:
+        return 1024
+    return 512

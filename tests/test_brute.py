@@ -61,3 +61,21 @@ def test_pallas_topk_interpret(rng):
     # group-reduce may miss a true neighbor when >=3 land in one group; with
     # group=8 on this scale the hit rate should still be ~1
     assert hits >= B * k - 2, hits
+
+
+def test_pallas_topk_small_tiles_and_pick_tn(rng):
+    """tn=512/group=4 (the d>512 configuration — large-d VMEM fit) matches brute
+    force in interpret mode; pick_tn scales tiles down as d grows."""
+    import jax.numpy as jnp
+    from hnsw_tpu.ops.pallas_topk import pallas_l2_topk, pad_corpus, pick_tn
+
+    assert pick_tn(128) == 2048 and pick_tn(512) == 1024 and pick_tn(784) == 512
+    n, d, k = 1500, 32, 5
+    X = rng.standard_normal((n, d)).astype(np.float32)
+    Q = rng.standard_normal((8, d)).astype(np.float32)
+    Xp, xsq = pad_corpus(X, tn=512)
+    dd, ids = pallas_l2_topk(jnp.asarray(Q), jnp.asarray(Xp), jnp.asarray(xsq),
+                             k, tn=512, group=4, interpret=True)
+    d2 = ((Q[:, None, :] - X[None]) ** 2).sum(-1)
+    true = np.argsort(d2, axis=1)[:, :k]
+    assert (np.array(ids)[:, 0] == true[:, 0]).all()
