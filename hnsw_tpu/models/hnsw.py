@@ -528,7 +528,36 @@ class Hnsw:
         rounds on the accelerator (intra-round points don't see each other — the same
         "small deviation" contract the reference documents for its thread races,
         ``src/hnsw.rs:1222-1223``); ``mode="serial"`` loops the exact serial oracle;
-        ``"auto"`` picks by size."""
+        ``"auto"`` picks by size.
+
+        Fast array form: pass a 2-D array (ids become ``arange``) or an
+        ``(X, ids)`` tuple of arrays — the build then bulk-copies rows instead
+        of iterating a million Python tuples (the reference's slice-of-tuples
+        ingestion is a rayon-ism; arrays are the natural TPU-side input)."""
+        X = ids = None
+        if isinstance(data_with_ids, np.ndarray) and data_with_ids.ndim == 2:
+            X = np.asarray(data_with_ids, dtype=self.dtype)
+            ids = np.arange(len(X), dtype=np.int64)
+        elif (isinstance(data_with_ids, tuple) and len(data_with_ids) == 2
+              and isinstance(data_with_ids[0], np.ndarray)
+              and np.asarray(data_with_ids[0]).ndim == 2):
+            X = np.asarray(data_with_ids[0], dtype=self.dtype)
+            ids = np.asarray(data_with_ids[1], dtype=np.int64)
+            if len(ids) != len(X):
+                raise ValueError(f"ids length {len(ids)} != rows {len(X)}")
+        if X is not None:
+            n = len(X)
+            if mode == "auto":
+                mode = "device" if n >= 2048 else "serial"
+            if mode == "device" and self.metric.jnp_scores is None:
+                mode = "serial"
+            if mode == "serial":
+                for j in range(n):
+                    self.insert(X[j], int(ids[j]))
+                return
+            from ..ops.insert_rounds import device_parallel_insert
+            device_parallel_insert(self, (X, ids), batch_size=batch_size)
+            return
         pairs = [(np.asarray(v, dtype=self.dtype), int(i)) for v, i in data_with_ids]
         if mode == "auto":
             mode = "device" if len(pairs) >= 2048 else "serial"

@@ -399,18 +399,36 @@ class HostBuildState:
                  widths: Optional[tuple] = None, cap1: Optional[int] = None):
         self.hnsw = hnsw
         n0 = hnsw._nb_point
-        npts = len(pairs)
+        is_arrays = (isinstance(pairs, tuple) and len(pairs) == 2
+                     and hasattr(pairs[0], "ndim"))
+        npts = len(pairs[0]) if is_arrays else len(pairs)
         new_levels = hnsw.level_sampler.generate(npts)
-        if pairs:
-            hnsw._set_dim(len(pairs[0][0]))
-        hnsw._ensure_cap(n0 + npts)
-        for k, ((v, oid), lvl) in enumerate(zip(pairs, new_levels)):
-            i = n0 + k
-            hnsw._data[i] = np.asarray(v, dtype=hnsw.dtype)
-            hnsw._origin[i] = oid
-            hnsw._level[i] = lvl
-            hnsw._rank_in_layer[i] = hnsw._layer_npoints[lvl]
-            hnsw._layer_npoints[lvl] += 1
+        if is_arrays:
+            X, oids = pairs
+            if npts:
+                hnsw._set_dim(X.shape[1])
+            hnsw._ensure_cap(n0 + npts)
+            # bulk row copies — the per-tuple loop costs ~30-60 s at 1M on the
+            # single host core; these five vectorized statements replace it
+            hnsw._data[n0:n0 + npts] = X
+            hnsw._origin[n0:n0 + npts] = oids
+            hnsw._level[n0:n0 + npts] = new_levels
+            for lvl in np.unique(new_levels):
+                m = new_levels == lvl
+                base = hnsw._layer_npoints[lvl]
+                hnsw._rank_in_layer[n0:n0 + npts][m] = base + np.arange(m.sum())
+                hnsw._layer_npoints[lvl] = base + int(m.sum())
+        else:
+            if pairs:
+                hnsw._set_dim(len(pairs[0][0]))
+            hnsw._ensure_cap(n0 + npts)
+            for k, ((v, oid), lvl) in enumerate(zip(pairs, new_levels)):
+                i = n0 + k
+                hnsw._data[i] = np.asarray(v, dtype=hnsw.dtype)
+                hnsw._origin[i] = oid
+                hnsw._level[i] = lvl
+                hnsw._rank_in_layer[i] = hnsw._layer_npoints[lvl]
+                hnsw._layer_npoints[lvl] += 1
         self.n0 = n0
         self.n_total = n0 + npts
         self.L = L if L is not None else (
@@ -515,10 +533,22 @@ class HostBuildState:
 def device_parallel_insert(hnsw, pairs, batch_size: Optional[int] = None,
                            expand: int = 8):
     """Build/extend an index with synchronized device rounds. Mutates ``hnsw`` in
-    place (host arrays are refreshed from the device tables at the end)."""
-    if not pairs:
+    place (host arrays are refreshed from the device tables at the end).
+    ``pairs`` is either a list of ``(vector, id)`` tuples or an ``(X, ids)``
+    array pair (the bulk-ingest fast path)."""
+    if isinstance(pairs, tuple) and len(pairs) == 2 and hasattr(pairs[0], "ndim"):
+        X, ids = pairs
+        if len(X) == 0:
+            return
+        if hnsw._nb_point == 0:
+            hnsw.insert(X[0], int(ids[0]))  # seed entry point
+            X, ids = X[1:], ids[1:]
+            if len(X) == 0:
+                return
+        pairs = (X, ids)
+    elif not pairs:
         return
-    if hnsw._nb_point == 0:
+    elif hnsw._nb_point == 0:
         v, i = pairs[0]
         hnsw.insert(v, i)  # seed entry point
         pairs = pairs[1:]

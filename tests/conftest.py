@@ -27,3 +27,22 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(0xC0FFEE)
+
+
+# Persistent XLA-CPU compile cache: one full-suite process performs ~80 heavy
+# compiles (batched beam/insert programs + 8-device shard_map SPMD); the XLA CPU
+# compiler has been observed to SEGFAULT on the late compiles of a long-lived
+# process (reproduced twice at the same test; every subset passes standalone).
+# Caching compiled executables to disk makes repeat runs skip native compilation
+# entirely, and the reordering below puts the heaviest compiles first while the
+# process is young.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("HNSW_TEST_CACHE", "/tmp/hnsw_tpu_test_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+def pytest_collection_modifyitems(config, items):
+    """Run the sharded-mesh tests FIRST: their 8-device shard_map programs are
+    the heaviest CPU compiles, and compiling them in a fresh process avoids the
+    late-process XLA CPU compiler segfault (see cache note above)."""
+    items.sort(key=lambda it: 0 if "test_sharded" in it.nodeid else 1)

@@ -215,3 +215,27 @@ def test_device_build_cosine(rng):
     h.parallel_insert(list(zip(X, range(n))), mode="device", batch_size=512)
     rate = _self_retrieval_rate(h, X, ef=32)
     assert rate >= 0.97, rate
+
+
+def test_array_ingest_equivalence(rng):
+    """parallel_insert accepts a bare 2-D array or an (X, ids) pair; the bulk
+    ingest path must produce a graph IDENTICAL to the tuple-list path (same
+    seeded level stream, same round schedule)."""
+    from hnsw_tpu import Hnsw
+    n, d = 2500, 12
+    X = rng.random((n, d)).astype(np.float32)
+
+    def build(inp):
+        h = Hnsw(max_nb_connection=10, max_elements=n, ef_construction=64,
+                 dist="L2")
+        h.parallel_insert(inp, mode="device", batch_size=512)
+        return h
+
+    h1 = build(list(zip(X, range(n))))
+    h2 = build(X)
+    h3 = build((X, np.arange(n)))
+    assert h1.check_graph_equality(h2)
+    assert h1.check_graph_equality(h3)
+    import pytest
+    with pytest.raises(ValueError):
+        build((X, np.arange(n - 1)))
