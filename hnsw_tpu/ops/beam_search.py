@@ -532,38 +532,48 @@ def device_search_stream(hnsw, queries: np.ndarray, knbn: int, ef: int,
     threading.Thread(target=_uploader, daemon=True).start()
     pending = []  # (start, end, device ids, device dists)
     done_staging = False
-    while True:
-        item = None if done_staging else staged.get()
-        if isinstance(item, Exception):
-            raise item
-        if item is None:
-            done_staging = True
-        else:
-            ws, we, is_super, dev = item
-            if is_super:
-                ids, dists = _search_program_super(
-                    g, dev, None, ef=int(ef),
-                    knbn=int(knbn), expand=int(expand), use_mask=False,
-                    max_iters=max_iters, codec=codec, term_slack=slack,
-                    rerank=rerank)
-                ids = ids.reshape(SB, -1)
-                dists = dists.reshape(SB, -1)
+    try:
+        while True:
+            item = None if done_staging else staged.get()
+            if isinstance(item, Exception):
+                raise item
+            if item is None:
+                done_staging = True
             else:
-                ids, dists = _search_program(g, dev, None, ef=int(ef),
-                                             knbn=int(knbn), expand=int(expand),
-                                             use_mask=False, max_iters=max_iters,
-                                             codec=codec, term_slack=slack,
-                                             rerank=rerank)
-            pending.append((ws, we, ids, dists))
-        while pending and (done_staging or len(pending) > 1):
-            ps, pe, ids, dists = pending.pop(0)
-            ids_h = np.array(ids)[: pe - ps]
-            d_h = np.array(dists)[: pe - ps]
-            ids_h[~np.isfinite(d_h)] = -1
-            out_i[ps:pe] = ids_h
-            out_d[ps:pe] = d_h
-        if done_staging and not pending:
-            break
+                ws, we, is_super, dev = item
+                if is_super:
+                    ids, dists = _search_program_super(
+                        g, dev, None, ef=int(ef),
+                        knbn=int(knbn), expand=int(expand), use_mask=False,
+                        max_iters=max_iters, codec=codec, term_slack=slack,
+                        rerank=rerank)
+                    ids = ids.reshape(SB, -1)
+                    dists = dists.reshape(SB, -1)
+                else:
+                    ids, dists = _search_program(g, dev, None, ef=int(ef),
+                                                 knbn=int(knbn), expand=int(expand),
+                                                 use_mask=False, max_iters=max_iters,
+                                                 codec=codec, term_slack=slack,
+                                                 rerank=rerank)
+                pending.append((ws, we, ids, dists))
+            while pending and (done_staging or len(pending) > 1):
+                ps, pe, ids, dists = pending.pop(0)
+                ids_h = np.array(ids)[: pe - ps]
+                d_h = np.array(dists)[: pe - ps]
+                ids_h[~np.isfinite(d_h)] = -1
+                out_i[ps:pe] = ids_h
+                out_d[ps:pe] = d_h
+            if done_staging and not pending:
+                break
+    finally:
+        # if the consumer raised, drain so a blocked uploader can finish and
+        # exit instead of pinning its staged device buffers until process end
+        while not done_staging:
+            try:
+                if staged.get(timeout=5.0) is None:
+                    break
+            except _queue.Empty:
+                break
     return out_i, out_d
 
 
