@@ -170,20 +170,26 @@ class LazyMmapData:
             if p < 0:
                 return np.zeros(self._dim, self.dtype)
             return self._view[p]
-        idxs = idxs.astype(np.int64)
+        # N-D fancy indexing: gather flat, then restore the index shape + dim
+        shape = idxs.shape
+        idxs = idxs.astype(np.int64).ravel()
         p = self._perm[idxs]
         out = np.zeros((len(idxs), self._dim), self.dtype)
         ok = p >= 0
         out[ok] = self._view[p[ok]]
         if self._overlay:
-            flat = idxs.ravel()
-            for j, i in enumerate(flat):
+            for j, i in enumerate(idxs):
                 row = self._overlay.get(int(i))
                 if row is not None:
                     out[j] = row
-        return out
+        return out.reshape(shape + (self._dim,))
 
     def __setitem__(self, key, value):
+        # slice keys FIRST: np.asarray(slice) is a 0-d object array, so the
+        # scalar branch would int() a slice and crash (hit by the bulk-array
+        # ingest path writing hnsw._data[n0:n0+npts] = X after an mmap reload)
+        if isinstance(key, slice):
+            key = np.arange(*key.indices(self._perm.shape[0]))
         idxs = np.asarray(key)
         if idxs.ndim == 0:
             i = int(idxs)
@@ -191,8 +197,6 @@ class LazyMmapData:
                 i += self._perm.shape[0]
             self._overlay[i] = np.array(value, self.dtype).reshape(self._dim)
             return
-        if isinstance(key, slice):
-            idxs = np.arange(*key.indices(self._perm.shape[0]))
         idxs = idxs.astype(np.int64).ravel()
         rows = np.broadcast_to(np.asarray(value, self.dtype),
                                (len(idxs), self._dim))

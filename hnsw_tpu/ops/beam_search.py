@@ -580,12 +580,12 @@ def device_search_stream(hnsw, queries: np.ndarray, knbn: int, ef: int,
 def device_search_batch(hnsw, queries: np.ndarray, knbn: int, ef: int, filter=None,
                         expand: int = 4, max_iters=None,
                         term_slack: float | None = None):
+    """Host wrapper: snapshot graph to device (cached), build the filter mask, run the
+    jitted program, return numpy (internal ids [B,knbn] -1-padded, dists)."""
     if max_iters is None:
         # measured on v5e: queries complete by ~ef/expand iterations; the uncapped
         # formula only burns tail iterations with everyone done-masked (22% QPS)
         max_iters = max(8, int(ef) // int(expand) + 2)
-    """Host wrapper: snapshot graph to device (cached), build the filter mask, run the
-    jitted program, return numpy (internal ids [B,knbn] -1-padded, dists)."""
     if hnsw._nb_point == 0:
         B = queries.shape[0]
         return np.full((B, knbn), -1, np.int64), np.full((B, knbn), np.inf, np.float32)

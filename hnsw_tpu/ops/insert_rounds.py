@@ -179,19 +179,27 @@ def extend_candidates_batched(metric: str, vectors, sqnorms, tbl0, q, cand_ids,
         m_ids = jnp.concatenate([jnp.where(cand_ids >= 0, cand_ids, cap1),
                                  jnp.where(ok, nb, cap1)], axis=1)
         m_d = jnp.concatenate([cand_d, sc], axis=1)
-        # dedup: stable sort by id then by distance -> duplicate ids (equal dists)
-        # are adjacent inside each equal-distance run
-        o1 = jnp.argsort(m_ids, axis=1, stable=True)
-        i1 = jnp.take_along_axis(m_ids, o1, 1)
-        d1 = jnp.take_along_axis(m_d, o1, 1)
-        dbits = lax.bitcast_convert_type(jnp.where(i1 < cap1, d1, INF), jnp.int32)
-        o2 = jnp.argsort(dbits, axis=1, stable=True)
-        i2 = jnp.take_along_axis(i1, o2, 1)
-        d2 = jnp.take_along_axis(d1, o2, 1)
-        dup = jnp.concatenate([jnp.zeros((B, 1), bool), i2[:, 1:] == i2[:, :-1]], 1)
-        live = (i2 < cap1) & ~dup
-        neg, o3 = lax.top_k(jnp.where(live, -d2, -INF), k_out)
-        out_ids = jnp.take_along_axis(jnp.where(live, i2, -1), o3, 1)
+        # dedup by id ADJACENCY: sort by distance bits first, then STABLE sort
+        # by id — copies of the same id are then adjacent (ascending distance
+        # within the id run) no matter how far apart their distances are. The
+        # previous scheme (id sort, then distance sort, adjacency check) only
+        # caught duplicates whose two distance values were bit-identical; the
+        # beam's [B,E*M,d] einsum and this widen pass's chunked einsum can
+        # disagree by 1 ulp on the same pair, leaving the node in the pool
+        # twice. (Bitcast ordering of negative Dot distances is imperfect but
+        # only picks WHICH ~equal copy of a duplicate survives.)
+        dbits = lax.bitcast_convert_type(
+            jnp.where(m_ids < cap1, m_d, INF), jnp.int32)
+        o0 = jnp.argsort(dbits, axis=1, stable=True)
+        i0 = jnp.take_along_axis(m_ids, o0, 1)
+        d0 = jnp.take_along_axis(m_d, o0, 1)
+        o1 = jnp.argsort(jnp.where(i0 < cap1, i0, cap1), axis=1, stable=True)
+        i1 = jnp.take_along_axis(i0, o1, 1)
+        d1 = jnp.take_along_axis(d0, o1, 1)
+        dup = jnp.concatenate([jnp.zeros((B, 1), bool), i1[:, 1:] == i1[:, :-1]], 1)
+        live = (i1 < cap1) & ~dup
+        neg, o3 = lax.top_k(jnp.where(live, -d1, -INF), k_out)
+        out_ids = jnp.take_along_axis(jnp.where(live, i1, -1), o3, 1)
         return jnp.where(neg > -INF, out_ids, -1), -neg
 
     def passthrough(_):

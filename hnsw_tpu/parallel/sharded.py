@@ -98,19 +98,37 @@ class ShardedHnsw:
         batches) runs ONE jitted data-parallel insertion round per step that advances
         every shard simultaneously over the ICI mesh; ``"device"``/``"serial"`` build
         shards one at a time (single-chip hosts / oracle comparisons)."""
-        buckets = [[] for _ in range(self.n_shards)]
-        for k, (v, i) in enumerate(data_with_ids):
-            buckets[k % self.n_shards].append((v, i))
+        dt = self.shards[0].dtype
+        if isinstance(data_with_ids, np.ndarray) and data_with_ids.ndim == 2:
+            X = np.asarray(data_with_ids, dtype=dt)
+            ids = np.arange(len(X), dtype=np.int64)
+        elif (isinstance(data_with_ids, tuple) and len(data_with_ids) == 2
+              and isinstance(data_with_ids[0], np.ndarray)
+              and np.asarray(data_with_ids[0]).ndim == 2):
+            X = np.asarray(data_with_ids[0], dtype=dt)
+            ids = np.asarray(data_with_ids[1], dtype=np.int64)
+        else:  # list of (vector, id) tuples -> arrays (one normalized form)
+            vs, iis = [], []
+            for v, i in data_with_ids:
+                vs.append(np.asarray(v, dtype=dt))
+                iis.append(int(i))
+            X = np.stack(vs) if vs else np.zeros((0, 0), dt)
+            ids = np.asarray(iis, np.int64)
+        # round-robin strided split (the reference shards by rayon work-stealing;
+        # strided keeps bucket sizes within one of each other for any n)
+        buckets = [(X[s::self.n_shards], ids[s::self.n_shards])
+                   for s in range(self.n_shards)]
         if mode == "auto":
-            per = max((len(b) for b in buckets), default=0)
+            per = max((len(b[0]) for b in buckets), default=0)
             mode = "mesh" if (self.n_shards > 1 and per >= 1024) else (
                 "device" if per >= 2048 else "serial")
         if mode == "mesh":
             self._mesh_insert(buckets, batch_size=batch_size)
         else:
-            for s, b in enumerate(buckets):
-                if b:
-                    self.shards[s].parallel_insert(b, mode=mode, batch_size=batch_size)
+            for s, (Xb, ib) in enumerate(buckets):
+                if len(Xb):
+                    self.shards[s].parallel_insert((Xb, ib), mode=mode,
+                                                   batch_size=batch_size)
             self._state = None
 
     def _mesh_insert(self, buckets, batch_size: Optional[int] = None,
@@ -123,15 +141,16 @@ class ShardedHnsw:
         from ..ops.insert_rounds import HostBuildState, RoundConfig, _next_pow2
 
         D = self.n_shards
-        dim = next((len(b[0][0]) for b in buckets if b), None)
+        dim = next((b[0].shape[1] for b in buckets if len(b[0])), None)
         if dim is None:
             return
-        for s, b in enumerate(buckets):
+        for s in range(D):
+            Xb, ib = buckets[s]
             self.shards[s]._set_dim(dim)
-            if self.shards[s]._nb_point == 0 and b:
-                v, i = b.pop(0)  # seed the shard's entry point
-                self.shards[s].insert(v, i)
-        if not any(buckets):
+            if self.shards[s]._nb_point == 0 and len(Xb):
+                self.shards[s].insert(Xb[0], int(ib[0]))  # seed the entry point
+                buckets[s] = (Xb[1:], ib[1:])
+        if not any(len(b[0]) for b in buckets):
             self._state = None
             return
         states = [HostBuildState(self.shards[s], buckets[s]) for s in range(D)]

@@ -200,3 +200,27 @@ def test_mmap_threshold_partial_residency(rng, tmp_path):
     r.insert(v, 999)
     assert r._data.resident_rows == before + 1
     assert r.search(v, 1, 64)[0].d_id == 999
+
+
+def test_mmap_reload_then_bulk_array_insert(rng, tmp_path):
+    """Bulk array ingestion after an mmap reload: HostBuildState writes
+    _data[n0:n0+npts] = X through LazyMmapData — the slice-key setter used to
+    crash (np.asarray(slice) is a 0-d object array, so the scalar branch tried
+    int(slice)). Also covers N-D fancy reads through the map."""
+    from hnsw_tpu.io.datamap import LazyMmapData
+    h, X = _build(rng, n=2200)
+    basename = h.file_dump(tmp_path, "bulkins")
+    io = HnswIo(tmp_path, basename, ReloadOptions(datamap=True, mmap_threshold=16))
+    r = io.load_hnsw()
+    assert isinstance(r._data, LazyMmapData)
+    Xn = rng.random((2100, X.shape[1])).astype(np.float32)  # >=2048 -> device path
+    r.parallel_insert((Xn, np.arange(5000, 5000 + len(Xn))), batch_size=512)
+    assert r.get_nb_point() == 2200 + 2100
+    res = r.search(Xn[7], 1, 64)
+    assert res[0].d_id == 5007 and abs(res[0].distance) < 1e-5
+    # old points still served through the map
+    res = r.search(X[50], 1, 64)
+    assert res[0].d_id == 50
+    # N-D fancy read through the lazy map keeps the index shape
+    out = r._data[np.array([[0, 1], [2, 3]])]
+    assert out.shape == (2, 2, X.shape[1])
