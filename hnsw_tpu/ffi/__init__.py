@@ -276,14 +276,10 @@ class NativeHnsw:
         return basename
 
     @classmethod
-    def load(cls, path, basename: str) -> "NativeHnsw":
-        """Reload a Full v4 dump into a native index (C ABI ``hnsw_load``),
-        recovering the dumped element type and header metadata (M, efc, distance)
-        so ``to_hnsw()`` on a loaded handle is faithful."""
-        lib = native_lib()
-        h = lib.hnsw_load(str(path).encode(), basename.encode())
-        if not h:
-            raise IOError(f"native load failed for {path}/{basename}")
+    def _wrap_loaded(cls, lib, h, path, basename) -> "NativeHnsw":
+        """Shared tail of the native reload constructors: wrap the C handle,
+        recover the dumped element type, and fill header metadata (M, efc,
+        distance) from the dump description so ``to_hnsw()`` is faithful."""
         self = cls.__new__(cls)
         self.lib = lib
         self._keepalive = []
@@ -301,6 +297,15 @@ class NativeHnsw:
         return self
 
     @classmethod
+    def load(cls, path, basename: str) -> "NativeHnsw":
+        """Reload a Full v4 dump into a native index (C ABI ``hnsw_load``)."""
+        lib = native_lib()
+        h = lib.hnsw_load(str(path).encode(), basename.encode())
+        if not h:
+            raise IOError(f"native load failed for {path}/{basename}")
+        return cls._wrap_loaded(lib, h, path, basename)
+
+    @classmethod
     def load_graph_only(cls, path, basename: str) -> "NativeHnsw":
         """NoData reload through the C ABI: topology + metadata, no vectors
         (reference ``libext.rs:446-451``). Searching returns 0 results; exports,
@@ -309,21 +314,7 @@ class NativeHnsw:
         h = lib.hnsw_load_graph_only(str(path).encode(), basename.encode())
         if not h:
             raise IOError(f"native graph-only load failed for {path}/{basename}")
-        self = cls.__new__(cls)
-        self.lib = lib
-        self._keepalive = []
-        tcode = int(lib.hnsw_element_type(h))
-        self.dtype = np.dtype(["float32", "float64", "int32", "uint32", "uint16",
-                               "uint8"][tcode])
-        self._suf = _TYPED[self.dtype.name]
-        self.h = h
-        d = load_hnsw_description(path, basename)
-        self.M = d.max_nb_connection
-        self.max_layer = d.nb_layer
-        self.ef_construction = d.ef_construction
-        from ..io.hnswio import short_dist_name
-        self.dist_name = short_dist_name(d.distname.decode())
-        return self
+        return cls._wrap_loaded(lib, h, path, basename)
 
     # ----------------------------------------------------- zero-copy TPU handoff -----
 
