@@ -653,7 +653,11 @@ class Hnsw:
             return None
         if kind == "auto":
             g0 = self.device_graph()
-            est = g0.cap1 * g0.layer_ids[0].shape[1] * (self._dim or 1)
+            w = g0.layer_ids[0].shape[1]
+            cw = getattr(self, "_codec_width", None)
+            if cw is not None:
+                w = min(int(cw), w)  # width-capped codec is smaller — size it as such
+            est = g0.cap1 * w * (self._dim or 1)
             if self._nb_point < self.CODEC_MIN_POINTS or est > self.CODEC_MAX_BYTES:
                 return None
             kind = "i8"

@@ -25,17 +25,19 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(scale_ref, q_ref, blk_ref, csq_ref, qsq_ref, out_ref, *, K: int,
+def _kernel(scale_ref, q_ref, blk_ref, csq_ref, qsn_ref, out_ref, *, K: int,
             d: int, form: str, QT: int):
+    # qsn_ref carries a per-form query norm quantity: the SQUARED norm |q|^2 for
+    # "l2", the plain L2 norm |q| for "cosine"; unused for "dot".
     blk = blk_ref[:].reshape(QT, K, d).astype(jnp.float32)  # int8 -> f32 in VMEM
     qv = q_ref[:]  # [QT, d] f32
     ip = (blk * qv[:, None, :]).sum(-1) * scale_ref[0, 0]  # [QT, K]
     if form == "l2":
-        out_ref[:] = jnp.sqrt(jnp.maximum(qsq_ref[:] - 2.0 * ip + csq_ref[:], 0.0))
+        out_ref[:] = jnp.sqrt(jnp.maximum(qsn_ref[:] - 2.0 * ip + csq_ref[:], 0.0))
     elif form == "dot":
         out_ref[:] = 1.0 - ip
     else:  # cosine over pre-normalized blocks: only the query norm remains
-        out_ref[:] = 1.0 - ip / jnp.maximum(qsq_ref[:], 1e-20)
+        out_ref[:] = 1.0 - ip / jnp.maximum(qsn_ref[:], 1e-20)
 
 
 @partial(jax.jit, static_argnames=("form", "qt", "interpret"))
@@ -47,7 +49,12 @@ def pallas_codec_scores(q, blk, csq, qsq_or_norm, scale, form: str = "l2",
       q: [B, d] f32 queries.
       blk: [B, K*d] int8 — gathered neighborhood blocks, flattened.
       csq: [B, K] f32 — quantized-row squared norms (L2) or zeros.
-      qsq_or_norm: [B, 1] f32 — query squared norm (L2) / query norm (cosine).
+      qsq_or_norm: [B, 1] f32 — form-dependent: pass the SQUARED query norm
+        |q|^2 for form="l2", the plain L2 norm |q| for form="cosine" (the
+        codec's cosine blocks are pre-normalized, so only |q| remains in the
+        denominator); ignored for form="dot". Passing the wrong quantity
+        silently corrupts distances — see ``scores_codec`` for the canonical
+        caller.
       scale: [] f32 dequantization multiplier.
       form: "l2" | "dot" | "cosine".
       qt: queries per grid step (grid = B // qt; keep modest — the axon remote

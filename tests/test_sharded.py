@@ -134,6 +134,74 @@ def test_mesh_build_uneven_shards(rng, mesh8):
     assert hits / (16 * k) >= 0.85, hits / (16 * k)
 
 
+def test_sharded_codec_fast_path_matches_exact(rng, mesh8):
+    """The mesh fast path (per-shard int8 codec + exact rerank) must return the
+    same neighbors as exact sharded traversal — the codec measured zero recall
+    loss single-chip; sharded it must hold per shard too (VERDICT r2 next #2)."""
+    n, d, k = 4000, 16, 10
+    X = rng.random((n, d)).astype(np.float32)
+    sh = ShardedHnsw(mesh=mesh8, max_nb_connection=12, max_elements=n // 8 + 8,
+                     ef_construction=100, dist="L2")
+    sh.parallel_insert((X, np.arange(n)), mode="mesh", batch_size=128)
+    Q = rng.random((16, d)).astype(np.float32)
+    sh.set_traversal_codec(None)
+    ids_exact, d_exact = sh.search_batch(Q, k, 48)
+    sh.set_traversal_codec("i8")
+    assert sh.device_codec_arrays() is not None
+    ids_codec, d_codec = sh.search_batch(Q, k, 48)
+    agree = (ids_exact == ids_codec).mean()
+    assert agree >= 0.95, f"codec/exact agreement {agree}"
+    # rerank restored exact f32 distances: where ids agree, dists agree tightly
+    same = ids_exact == ids_codec
+    np.testing.assert_allclose(d_exact[same], d_codec[same], rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_filtered_search(rng, mesh8):
+    """In-search filtering on the sharded tier: only filter-passing external ids
+    come back, and recall within the allowed subset stays high."""
+    n, d, k = 3000, 12, 5
+    X = rng.random((n, d)).astype(np.float32)
+    sh = ShardedHnsw(mesh=mesh8, max_nb_connection=12, max_elements=n // 8 + 8,
+                     ef_construction=80, dist="L2")
+    sh.parallel_insert((X, np.arange(n)), mode="mesh", batch_size=128)
+    sh.set_traversal_codec("i8")
+    allowed = np.arange(0, n, 3)
+    Q = rng.random((16, d)).astype(np.float32)
+    ids, dists = sh.search_batch(Q, k, 48, filter=allowed)
+    got = ids[ids >= 0]
+    assert len(got) and (got % 3 == 0).all(), "filter leaked disallowed ids"
+    truth = get_metric("L2").brute_force(Q, X[allowed])
+    hits = 0
+    for b in range(16):
+        kth = np.sort(truth[b])[k - 1]
+        hits += int((dists[b][np.isfinite(dists[b])] <= kth + 1e-6).sum())
+    assert hits / (16 * k) >= 0.85, hits / (16 * k)
+
+
+def test_sharded_64bit_external_ids(rng, mesh8):
+    """External ids >= 2^32 must survive the multi-chip tier intact (the device
+    merge carries (shard, local) int32 pairs; int64 ids resolve on host —
+    reference DataId is usize, src/hnsw.rs:51). Also checks shard_of placement."""
+    n, d = 1200, 8
+    X = rng.random((n, d)).astype(np.float32)
+    base = np.int64(2**32 + 7)
+    ids64 = base + 3 * np.arange(n, dtype=np.int64)  # all >= 2^32, none int32-safe
+    sh = ShardedHnsw(mesh=mesh8, max_nb_connection=10, max_elements=n // 8 + 8,
+                     ef_construction=64, dist="L2")
+    sh.parallel_insert((X, ids64), mode="mesh", batch_size=128)
+    out, dists = sh.search_batch(X[:32], 1, 24)
+    assert out.dtype == np.int64
+    hits = sum(1 for i in range(32) if int(out[i, 0]) == int(ids64[i]))
+    assert hits >= 31, out[:, 0]
+    # shard_of reports the recorded placement, not an arange assumption
+    for i in (0, 1, 7, n - 1):
+        s = sh.shard_of(int(ids64[i]))
+        assert int(ids64[i]) in sh.shards[s]._origin[: sh.shards[s]._nb_point]
+    import pytest as _pt
+    with _pt.raises(KeyError):
+        sh.shard_of(12345)
+
+
 def test_mesh_build_dot_metric(rng, mesh8):
     """Mesh build + merged search under an inner-product metric (the merge
     compares raw Dot distances across shards — ordering must survive)."""
