@@ -19,7 +19,11 @@ rows use scale=0.5, examples/ann-sift1m-128-euclidean.rs:30-44; efc=400/scale=0.
 measured +0.005-0.008 recall-per-ef over efc=200/scale=1 at 1M),
 BENCH_BATCH (4096 build batch), BENCH_QBATCH (8192 query batch),
 BENCH_BUILD (device|native), BENCH_INTRINSIC (16), BENCH_RECALL (0.98),
-BENCH_EXPAND (4 beam expansion), BENCH_BLOCKS (7 timed blocks),
+BENCH_TARGET (ef-choice recall target, default max(floor+0.005, 0.985) — margin
+above the gate so tunnel variance can't flip the headline),
+BENCH_EXPAND (4 beam expansion), BENCH_BLOCKS (9 timed blocks),
+BENCH_DATASET ("gauss" | "clustered" — the harder clustered/heavy-tailed second
+gate; BENCH_CLUSTERS sets its mixture size),
 BENCH_QDTYPE (default "f16"; set "f32" to force full-precision ingest).
 Queries upload as float16 (device math stays f32): the axon tunnel moves
 ~22 MB/s, capping f32/128d ingest at ~31-44k QPS — an artifact of the tunneled
@@ -40,6 +44,53 @@ import numpy as np
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def make_dataset(kind, rng, n, nq, d, intrinsic):
+    """Synthetic corpora standing in for the reference's ann-benchmarks datasets
+    (zero-egress container; reference acceptance tier examples/utils/annhdf5.rs).
+
+    "gauss" (default): low-intrinsic-dimension gaussians through a fixed random
+    linear map — the regime of SIFT/GloVe descriptors (intrinsic dim ~12-16).
+
+    "clustered": the harder second gate (VERDICT r2 next #9): a mixture of
+    lognormal-weighted clusters (heavy-tailed sizes), anisotropic per-cluster
+    scales, Student-t within-cluster offsets (heavy-tailed point noise), and
+    points kept in CLUSTER ORDER so internal ids correlate with geometry — the
+    skewed-degree / clustered-id effects real datasets have and iid gaussians
+    hide. Queries are drawn from the same mixture (plus 10% background)."""
+    A = rng.standard_normal((intrinsic, d)).astype(np.float32) / np.sqrt(intrinsic)
+    if kind == "gauss":
+        Z = rng.standard_normal((n, intrinsic)).astype(np.float32)
+        Zq = rng.standard_normal((nq, intrinsic)).astype(np.float32)
+    elif kind == "clustered":
+        C = int(os.environ.get("BENCH_CLUSTERS", max(64, n // 4000)))
+        w = rng.lognormal(0.0, 1.2, C)
+        w /= w.sum()
+        centers = 4.0 * rng.standard_normal((C, intrinsic))
+        sig = rng.lognormal(-0.4, 0.6, C)
+
+        def draw(m, counts):
+            Z = np.empty((m, intrinsic), np.float32)
+            ofs = 0
+            for c in range(C):
+                k = int(counts[c])
+                Z[ofs:ofs + k] = (centers[c]
+                                  + sig[c] * rng.standard_t(4, (k, intrinsic)))
+                ofs += k
+            return Z
+
+        Z = draw(n, rng.multinomial(n, w))  # cluster-ordered on purpose
+        nq_bg = nq // 10
+        Zq = np.concatenate([draw(nq - nq_bg, rng.multinomial(nq - nq_bg, w)),
+                             4.0 * rng.standard_normal((nq_bg, intrinsic))
+                             .astype(np.float32)])
+        Zq = Zq[rng.permutation(nq)]
+    else:
+        raise ValueError(f"unknown BENCH_DATASET {kind!r}")
+    X = Z @ A + 0.02 * rng.standard_normal((n, d)).astype(np.float32)
+    Q = Zq @ A + 0.02 * rng.standard_normal((nq, d)).astype(np.float32)
+    return X.astype(np.float32), Q.astype(np.float32)
 
 
 def main():
@@ -63,7 +114,7 @@ def main():
     BB = int(os.environ.get("BENCH_BATCH", 4096))
     QB = int(os.environ.get("BENCH_QBATCH", 8192))
     EXPAND = int(os.environ.get("BENCH_EXPAND", 4))
-    BLOCKS = int(os.environ.get("BENCH_BLOCKS", 7))
+    BLOCKS = int(os.environ.get("BENCH_BLOCKS", 9))
     QDTYPE = os.environ.get("BENCH_QDTYPE", "f16")
     if QDTYPE in ("f32", "float32", "none", ""):
         QDTYPE = None
@@ -72,16 +123,9 @@ def main():
 
     log(f"[bench] devices: {jax.devices()}")
     rng = np.random.default_rng(1234)
-    # Low-intrinsic-dimension synthetic in the regime of the reference's benchmark
-    # datasets (SIFT/GloVe descriptors have intrinsic dim ~12-16; i.i.d. uniform 128-d
-    # suffers total distance concentration and is meaningless for ANN). Latent 16-d
-    # gaussians through a fixed random linear map, plus small ambient noise.
     ID = int(os.environ.get("BENCH_INTRINSIC", 16))
-    A = rng.standard_normal((ID, d)).astype(np.float32) / np.sqrt(ID)
-    X = (rng.standard_normal((N, ID)).astype(np.float32) @ A
-         + 0.02 * rng.standard_normal((N, d)).astype(np.float32))
-    Q = (rng.standard_normal((QB, ID)).astype(np.float32) @ A
-         + 0.02 * rng.standard_normal((QB, d)).astype(np.float32))
+    DATASET = os.environ.get("BENCH_DATASET", "gauss")
+    X, Q = make_dataset(DATASET, rng, N, QB, d, ID)
 
     # exact ground truth in float64 on host — the f32 norm-trick (q^2 - 2qx + x^2)
     # loses ~1e-3 relative precision to cancellation, enough to mis-rank near-ties
@@ -191,14 +235,22 @@ def main():
         oid = np.where(ids >= 0, h._origin[np.clip(ids, 0, h._nb_point - 1)], -1)
         return recall_fp64(oid, NQ_GT)
 
-    # ef sweep to hit the recall floor (measured on the production stream path)
+    # ef sweep to hit the recall TARGET (floor + margin): the driver gate is
+    # RECALL_FLOOR, but choosing ef right at the floor leaves no headroom — one
+    # bad tunnel window flips the headline under the gate (VERDICT r2 weak #6).
+    # Aim ~0.005 above the floor; fall back to the floor if the sweep tops out.
+    TARGET = float(os.environ.get("BENCH_TARGET",
+                                  max(RECALL_FLOOR + 0.005, 0.985)))
     chosen_ef, chosen_recall = None, 0.0
+    floor_ef, floor_recall = None, 0.0
     for ef in (16, 24, 32, 48, 64, 72, 80, 96, 128, 192, 256, 384, 512):
         ids, dists = run_stream(ef)
         r = recall_of(ids)
         log(f"[bench] ef={ef}: recall@{k}={r:.4f}")
         chosen_ef, chosen_recall = ef, r
-        if r >= RECALL_FLOOR:
+        if floor_ef is None and r >= RECALL_FLOOR:
+            floor_ef, floor_recall = ef, r
+        if r >= TARGET:
             break
 
     # sustained serving throughput at the chosen ef: pipelined stream (dispatch of
@@ -225,7 +277,7 @@ def main():
     best = max((c for c in candidates if c[2] >= RECALL_FLOOR or c[0] == "hnsw-beam"),
                key=lambda c: (c[2] >= RECALL_FLOOR, c[1]))
     print(json.dumps({
-        "metric": f"synthetic-{N // 1000}k-{d}d QPS/chip at recall@{k}>="
+        "metric": f"synthetic[{DATASET}]-{N // 1000}k-{d}d QPS/chip at recall@{k}>="
                   f"{RECALL_FLOOR} [best engine: {best[0]} @ recall {best[2]:.4f}; "
                   f"hnsw {qps:.0f}qps@{chosen_recall:.3f} ef={chosen_ef} "
                   f"qd={QDTYPE or 'f32'}, "

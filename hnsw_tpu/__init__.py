@@ -14,7 +14,7 @@ from .api import AnnT
 from .io.hnswio import (HnswIo, ReloadOptions, Description, load_description,
                         file_dump, save_native, load_native)
 from .io.datamap import DataMap
-from .ffi import NativeHnsw  # binds lazily; the .so builds on first instantiation
+from .ffi import NativeHnsw, init_native_log  # binds lazily; .so builds on first use
 from .parallel.sharded import ShardedHnsw
 from .utils.logging import init_logging
 
@@ -26,5 +26,5 @@ __all__ = [
     "DISTANCES", "Metric", "UserMetric", "get_metric", "l2_normalize",
     "FilterT", "SortedIdFilter", "CallableFilter", "AnnT",
     "HnswIo", "ReloadOptions", "Description", "load_description", "file_dump",
-    "save_native", "load_native", "DataMap", "init_logging",
+    "save_native", "load_native", "DataMap", "init_logging", "init_native_log",
 ]

@@ -142,6 +142,17 @@ def native_lib():
                 C.c_void_p, C.c_void_p, C.c_uint64, C.c_uint64, C.c_uint64,
                 C.c_int, C.POINTER(C.c_int64), C.POINTER(C.c_float)]
             getattr(lib, f"hnsw_export_data_{suf}").argtypes = [C.c_void_p, C.c_void_p]
+            f = getattr(lib, f"hnsw_import_{suf}")
+            f.restype = C.c_void_p
+            f.argtypes = [C.c_uint64, C.c_uint64, C.c_uint64, C.c_char_p,
+                          C.c_double, C.c_uint64, C.c_uint64, C.c_void_p,
+                          C.POINTER(C.c_int64), C.POINTER(C.c_int32),
+                          C.POINTER(C.c_int32), C.c_int64, C.c_int32,
+                          C.POINTER(C.c_int64), C.POINTER(C.c_void_p),
+                          C.POINTER(C.c_void_p), C.c_int, C.c_int]
+        lib.hnsw_load_ptrdist.restype = C.c_void_p
+        lib.hnsw_load_ptrdist.argtypes = [C.c_char_p, C.c_char_p, DIST_FN_T]
+        lib.hnsw_init_log.argtypes = [C.c_int32]
         lib.hnsw_file_dump.restype = C.c_int32
         lib.hnsw_file_dump.argtypes = [C.c_void_p, C.c_char_p, C.c_char_p]
         lib.hnsw_load.restype = C.c_void_p
@@ -155,6 +166,13 @@ def native_lib():
         lib.hnsw_load_graph_only.argtypes = [C.c_char_p, C.c_char_p]
         _lib = lib
         return lib
+
+
+def init_native_log(level: int = 1):
+    """Set the native tier's verbosity through the C ABI — the analog of the
+    reference's ``init_rust_log`` (``src/libext.rs:1237-1240``). 0 = silent,
+    1 = info, 2 = debug. Also settable via the ``HNSW_NATIVE_LOG`` env var."""
+    native_lib().hnsw_init_log(int(level))
 
 
 def load_hnsw_description(path, basename: str) -> DescriptionFFI:
@@ -298,12 +316,87 @@ class NativeHnsw:
 
     @classmethod
     def load(cls, path, basename: str) -> "NativeHnsw":
-        """Reload a Full v4 dump into a native index (C ABI ``hnsw_load``)."""
+        """Reload a Full or Light v2/v3/v4 dump into a native index (C ABI
+        ``hnsw_load``). DistPtr dumps are a hard error here — use
+        :meth:`load_ptrdist` (reference ``load_hnsw_with_dist``)."""
         lib = native_lib()
         h = lib.hnsw_load(str(path).encode(), basename.encode())
         if not h:
             raise IOError(f"native load failed for {path}/{basename}")
         return cls._wrap_loaded(lib, h, path, basename)
+
+    @classmethod
+    def load_ptrdist(cls, path, basename: str, dist_fn) -> "NativeHnsw":
+        """Reload a DistPtr dump with the caller's distance function (reference
+        ``load_hnsw_with_dist`` ``src/hnswio.rs:531-613`` + ptr-dist FFI ctors
+        ``src/libext.rs:643-655``). f32 element type only."""
+        lib = native_lib()
+        cb = DIST_FN_T(lambda a, b, n: float(
+            dist_fn(np.ctypeslib.as_array(a, (n,)), np.ctypeslib.as_array(b, (n,)))))
+        h = lib.hnsw_load_ptrdist(str(path).encode(), basename.encode(), cb)
+        if not h:
+            raise IOError(f"native ptrdist load failed for {path}/{basename}")
+        self = cls._wrap_loaded(lib, h, path, basename)
+        self._keepalive.append(cb)  # the index holds the fn pointer for its lifetime
+        return self
+
+    @classmethod
+    def from_hnsw(cls, h) -> "NativeHnsw":
+        """Import a Python-tier ``Hnsw`` into a native index via the flat-array
+        C ABI (``hnsw_import_*``) — the inverse of :meth:`to_hnsw`. Rows keep
+        their stored order, so ``file_dump`` on the result is byte-identical to
+        the Python writer's output. This is the fast persistence path at
+        flagship scale: one memcpy-style handoff, then the buffered C++ writer
+        (reference single-pass dump, ``src/hnswio.rs:1063-1115``)."""
+        lib = native_lib()
+        n = h._nb_point
+        if n == 0:
+            raise ValueError("cannot import an empty index")
+        dt = np.dtype(h.dtype)
+        if dt.name not in _TYPED:
+            raise ValueError(f"unsupported native element type {dt}")
+        suf = _TYPED[dt.name]
+        data = np.ascontiguousarray(np.asarray(h._data[:n], dtype=dt))
+        origin = np.ascontiguousarray(h._origin[:n], np.int64)
+        level = np.ascontiguousarray(h._level[:n], np.int32)
+        rank = np.ascontiguousarray(h._rank_in_layer[:n], np.int32)
+        L = max(h._layers.keys(), default=-1) + 1
+        widths = np.zeros(max(L, 1), np.int64)
+        lid_ptrs = (C.c_void_p * max(L, 1))()
+        ldd_ptrs = (C.c_void_p * max(L, 1))()
+        keep = []  # the row arrays must outlive the call
+        for l in range(L):
+            t = h._layers.get(l)
+            if t is None:
+                continue
+            ids = np.ascontiguousarray(t.ids[:n], np.int32)
+            dds = np.ascontiguousarray(t.dists[:n], np.float32)
+            keep.append((ids, dds))
+            widths[l] = t.width
+            lid_ptrs[l] = ids.ctypes.data
+            ldd_ptrs[l] = dds.ctypes.data
+        handle = getattr(lib, f"hnsw_import_{suf}")(
+            h.max_nb_connection, h.ef_construction, h.max_layer,
+            h.metric.name.encode(), float(h.get_level_scale()), n, h._dim or 0,
+            C.c_void_p(data.ctypes.data),
+            origin.ctypes.data_as(C.POINTER(C.c_int64)),
+            level.ctypes.data_as(C.POINTER(C.c_int32)),
+            rank.ctypes.data_as(C.POINTER(C.c_int32)),
+            int(h._entry), L, widths.ctypes.data_as(C.POINTER(C.c_int64)),
+            lid_ptrs, ldd_ptrs, int(h.extend_candidates), int(h.keep_pruned))
+        if not handle:
+            raise ValueError("native import failed")
+        self = cls.__new__(cls)
+        self.lib = lib
+        self._keepalive = []
+        self.dtype = dt
+        self._suf = suf
+        self.h = handle
+        self.M = h.max_nb_connection
+        self.max_layer = h.max_layer
+        self.ef_construction = h.ef_construction
+        self.dist_name = h.metric.name
+        return self
 
     @classmethod
     def load_graph_only(cls, path, basename: str) -> "NativeHnsw":
@@ -328,7 +421,8 @@ class NativeHnsw:
         h = Hnsw(max_nb_connection=self.M, max_elements=max(n, 8),
                  max_layer=self.max_layer, ef_construction=self.ef_construction,
                  dist=self.dist_name if self.dist_name != "DistPtr" else "L2",
-                 dtype=self.dtype)
+                 dtype=self.dtype,
+                 level_scale=float(self.lib.hnsw_level_scale(self.h)))
         if n == 0:
             return h
         h._set_dim(dim)

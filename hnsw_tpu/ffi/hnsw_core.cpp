@@ -32,12 +32,43 @@
 #include <shared_mutex>
 #include <string>
 #include <thread>
+#include <unordered_map>
 #include <unordered_set>
 #include <vector>
 
 namespace {
 
 using std::size_t;
+
+// ------------------------------------------------------------------ logging ---------
+// Native-tier verbosity — the analog of the reference's init_rust_log / env_logger
+// surface (src/libext.rs:1237-1240). 0 = silent, 1 = info, 2 = debug. Initialized
+// from the C ABI (hnsw_init_log) or the HNSW_NATIVE_LOG env var on first use.
+
+static std::atomic<int> g_log_level{-1};
+
+static int log_level() {
+  int v = g_log_level.load();
+  if (v < 0) {
+    const char* e = std::getenv("HNSW_NATIVE_LOG");
+    v = 0;
+    if (e) {
+      std::string s(e);
+      if (s == "info" || s == "1") v = 1;
+      else if (s == "debug" || s == "trace" || s == "2") v = 2;
+    }
+    g_log_level.store(v);
+  }
+  return v;
+}
+
+#define NLOG(lvl, ...)                                      \
+  do {                                                      \
+    if (log_level() >= (lvl)) {                             \
+      std::fprintf(stderr, "[hnsw_core] " __VA_ARGS__);     \
+      std::fputc('\n', stderr);                             \
+    }                                                       \
+  } while (0)
 
 // ----------------------------------------------------------------- distances --------
 
@@ -431,6 +462,8 @@ struct Index {
   void parallel_insert(const T* vs, uint64_t count, uint64_t d_,
                        const int64_t* oids, int n_threads) {
     if (n_threads <= 0) n_threads = int(std::thread::hardware_concurrency());
+    NLOG(1, "parallel_insert: %llu points, dim %llu, %d threads",
+         (unsigned long long)count, (unsigned long long)d_, n_threads);
     // pre-sample levels under one lock so the stream stays deterministic in order
     std::vector<int> lvls(count);
     {
@@ -679,6 +712,8 @@ static int dump_index(Index<T>& ix, const char* dir, const char* basename) {
   wr<int32_t>(fg, ix.rank[ep]);
   std::fclose(fg);
   std::fclose(fd);
+  NLOG(1, "dumped %lld points to %s/%s.hnsw.{graph,data}", (long long)n, dir,
+       basename);
   return 0;
 }
 
@@ -721,10 +756,16 @@ static bool parse_header(std::FILE* fg, DumpHeader& h) {
 // fd == nullptr => graph-only (NoData) load: topology + metadata, no vectors
 // (analog of the reference's NoData reload, libext.rs:446-451). v2 dumps carry
 // bincode-serialized data records (u64 element count + raw LE elements).
+// mode == 0 (Light dump): point and neighbor records carry NO (layer, rank)
+// PointId — the point's pid is implied by its (layer, rank-in-file) position and
+// neighbors resolve by external id (reference readers branch on dumpmode,
+// src/hnswio.rs:1074-1090).
 template <typename T>
 static Index<T>* load_index(std::FILE* fg, std::FILE* fd, uint8_t max_nb_conn,
                             double scale, uint64_t ef, uint64_t nb_point,
-                            uint64_t dim, Dist dk, int version = 4) {
+                            uint64_t dim, Dist dk, int version = 4,
+                            uint8_t mode = 1) {
+  const bool full = mode == 1;
   auto* ix = new Index<T>(max_nb_conn, ef, nb_point, 16, dk);
   ix->scale = scale;
   ix->dim = dim;
@@ -735,6 +776,8 @@ static Index<T>* load_index(std::FILE* fg, std::FILE* fd, uint8_t max_nb_conn,
   struct NRef { uint64_t d_id; uint8_t lv; int32_t rk; float dist; };
   std::vector<std::vector<std::vector<NRef>>> raw(nb_point);
   std::vector<std::vector<int64_t>> pid2idx(16);
+  std::unordered_map<int64_t, int64_t> oid2idx;  // Light: resolve by external id
+  if (!full) oid2idx.reserve(nb_point * 2);
   uint8_t nb_layer;
   if (!rd(fg, &nb_layer)) { delete ix; return nullptr; }
   // data header
@@ -751,13 +794,19 @@ static Index<T>* load_index(std::FILE* fg, std::FILE* fd, uint8_t max_nb_conn,
     pid2idx[l].resize(cnt);
     ix->layer_counts[l] = int64_t(cnt);
     for (uint64_t r = 0; r < cnt; ++r) {
-      uint32_t pm; uint64_t oid; uint8_t lv; int32_t rk;
-      if (!rd(fg, &pm) || pm != MAGICPOINT || !rd(fg, &oid) || !rd(fg, &lv) ||
-          !rd(fg, &rk) || lv != l || uint64_t(rk) != r) { delete ix; return nullptr; }
+      uint32_t pm; uint64_t oid;
+      uint8_t lv = uint8_t(l); int32_t rk = int32_t(r);
+      if (!rd(fg, &pm) || pm != MAGICPOINT || !rd(fg, &oid)) { delete ix; return nullptr; }
+      if (full) {
+        if (!rd(fg, &lv) || !rd(fg, &rk) || lv != l || uint64_t(rk) != r) {
+          delete ix; return nullptr;
+        }
+      }
       ix->origin[idx] = int64_t(oid);
       ix->level[idx] = lv;
       ix->rank[idx] = rk;
       pid2idx[l][r] = idx;
+      if (!full) oid2idx.emplace(int64_t(oid), idx);
       ix->points[idx].nbrs.resize(ix->max_layer);
       raw[idx].resize(16);
       for (int ll = 0; ll < 16; ++ll) {
@@ -766,8 +815,12 @@ static Index<T>* load_index(std::FILE* fg, std::FILE* fd, uint8_t max_nb_conn,
         raw[idx][ll].resize(nbg);
         for (uint64_t j = 0; j < nbg; ++j) {
           NRef& nr = raw[idx][ll][j];
-          if (!(rd(fg, &nr.d_id) && rd(fg, &nr.lv) && rd(fg, &nr.rk) &&
-                rd(fg, &nr.dist))) { delete ix; return nullptr; }
+          if (full) {
+            if (!(rd(fg, &nr.d_id) && rd(fg, &nr.lv) && rd(fg, &nr.rk) &&
+                  rd(fg, &nr.dist))) { delete ix; return nullptr; }
+          } else {
+            if (!(rd(fg, &nr.d_id) && rd(fg, &nr.dist))) { delete ix; return nullptr; }
+          }
         }
       }
       if (fd) {
@@ -786,26 +839,44 @@ static Index<T>* load_index(std::FILE* fg, std::FILE* fd, uint8_t max_nb_conn,
     }
   }
   ix->n.store(idx);
-  // pass 2: resolve (layer, rank) -> internal index, sort rows by distance
+  // pass 2: resolve pids (Full) or external ids (Light) -> internal index,
+  // sort rows by distance
   for (int64_t i = 0; i < idx; ++i) {
     for (uint64_t ll = 0; ll < ix->max_layer; ++ll) {
       auto& out = ix->points[i].nbrs[ll];
       for (const auto& nr : raw[i][ll]) {
-        if (nr.lv < 16 && uint64_t(nr.rk) < pid2idx[nr.lv].size())
-          out.push_back({nr.dist, int32_t(pid2idx[nr.lv][nr.rk])});
+        if (full) {
+          if (nr.lv < 16 && uint64_t(nr.rk) < pid2idx[nr.lv].size())
+            out.push_back({nr.dist, int32_t(pid2idx[nr.lv][nr.rk])});
+        } else {
+          auto it = oid2idx.find(int64_t(nr.d_id));
+          if (it != oid2idx.end())
+            out.push_back({nr.dist, int32_t(it->second)});
+        }
       }
       std::sort(out.begin(), out.end(), link_lt);
     }
   }
-  uint64_t ep_oid; uint8_t ep_lv; int32_t ep_rk;
-  if (rd(fg, &ep_oid) && rd(fg, &ep_lv) && rd(fg, &ep_rk) && ep_lv < 16 &&
-      uint64_t(ep_rk) < pid2idx[ep_lv].size())
-    ix->entry.store(pid2idx[ep_lv][ep_rk]);
+  uint64_t ep_oid;
+  if (!rd(fg, &ep_oid)) return ix;
+  if (full) {
+    uint8_t ep_lv; int32_t ep_rk;
+    if (rd(fg, &ep_lv) && rd(fg, &ep_rk) && ep_lv < 16 &&
+        uint64_t(ep_rk) < pid2idx[ep_lv].size())
+      ix->entry.store(pid2idx[ep_lv][ep_rk]);
+  } else {
+    auto it = oid2idx.find(int64_t(ep_oid));
+    if (it != oid2idx.end()) ix->entry.store(it->second);
+  }
   return ix;
 }
 
 static Dist dist_from_name(const char* name) {
   std::string s(name);
+  // dump headers carry the full Rust path ("anndists::dist::distances::DistL2");
+  // ctor calls pass short names ("L2"). Strip both forms.
+  auto pos = s.rfind("::");
+  if (pos != std::string::npos) s = s.substr(pos + 2);
   if (s.rfind("Dist", 0) == 0) s = s.substr(4);
   if (s == "L1") return Dist::L1;
   if (s == "L2") return Dist::L2;
@@ -846,6 +917,58 @@ static Handle* make_handle(TCode t, uint64_t m, uint64_t efc, uint64_t cap,
                            uint64_t ml, const char* dist) {
   if (m == 0 || m > 256) return nullptr;
   return new Handle{t, new Index<T>(m, efc, cap, ml ? ml : 16, dist_from_name(dist))};
+}
+
+// Flat-array import: build a native index directly from the dense table layout
+// the Python/TPU tier uses (the inverse of the export_* surface). Rows are taken
+// in stored order — callers keep them distance-sorted — so a subsequent
+// hnsw_file_dump is byte-identical to the Python writer's output for the same
+// graph. This is what makes reference-format persistence O(buffered-pass) at
+// flagship scale (VERDICT r2 next #3): Python hands the arrays over zero-copy
+// and the C++ writer streams the bytes.
+template <typename T>
+static Handle* import_index(TCode tc, uint64_t m, uint64_t efc, uint64_t ml,
+                            const char* dist, double scale, uint64_t n,
+                            uint64_t dim, const T* data, const int64_t* origin,
+                            const int32_t* level, const int32_t* rank,
+                            int64_t entry, int32_t nb_layers,
+                            const int64_t* widths, const int32_t* const* lids,
+                            const float* const* ldists, int extendc, int keepp) {
+  if (m == 0 || m > 256 || n == 0) return nullptr;
+  auto* ix = new Index<T>(m, efc, n, ml ? ml : 16, dist_from_name(dist));
+  ix->scale = scale;
+  ix->dim = dim;
+  if (data) {
+    ix->data.resize(size_t(n) * dim);
+    std::memcpy(ix->data.data(), data, size_t(n) * dim * sizeof(T));
+  }
+  ix->origin.assign(origin, origin + n);
+  ix->level.assign(level, level + n);
+  ix->rank.assign(rank, rank + n);
+  for (uint64_t i = 0; i < n; ++i) {
+    ix->points[i].nbrs.resize(ix->max_layer);
+    if (level[i] >= 0 && uint64_t(level[i]) < ix->max_layer)
+      ix->layer_counts[level[i]] += 1;
+  }
+  for (int32_t l = 0; l < nb_layers && uint64_t(l) < ix->max_layer; ++l) {
+    const int64_t w = widths[l];
+    const int32_t* ids_l = lids[l];
+    const float* dd_l = ldists[l];
+    if (!ids_l || w <= 0) continue;
+    for (uint64_t i = 0; i < n; ++i) {
+      auto& row = ix->points[i].nbrs[l];
+      const int32_t* r = ids_l + i * uint64_t(w);
+      const float* d = dd_l + i * uint64_t(w);
+      for (int64_t j = 0; j < w && r[j] >= 0; ++j) row.push_back({d[j], r[j]});
+    }
+  }
+  ix->n.store(int64_t(n));
+  ix->entry.store(entry);
+  ix->extend_candidates = extendc != 0;
+  ix->keep_pruned = keepp != 0;
+  NLOG(2, "imported %llu points (dim %llu) from flat arrays",
+       (unsigned long long)n, (unsigned long long)dim);
+  return new Handle{tc, ix};
 }
 
 }  // namespace
@@ -910,6 +1033,26 @@ HNSW_TYPED_ABI(u32, uint32_t, TCode::U32)
 HNSW_TYPED_ABI(u16, uint16_t, TCode::U16)
 HNSW_TYPED_ABI(u8, uint8_t, TCode::U8)
 #undef HNSW_TYPED_ABI
+
+#define HNSW_IMPORT_ABI(SUF, CT, TC)                                                   \
+  void* hnsw_import_##SUF(uint64_t m, uint64_t efc, uint64_t ml, const char* dist,     \
+                          double scale, uint64_t n, uint64_t dim, const CT* data,      \
+                          const int64_t* origin, const int32_t* level,                 \
+                          const int32_t* rank, int64_t entry, int32_t nb_layers,       \
+                          const int64_t* widths, const int32_t* const* lids,           \
+                          const float* const* ldists, int extendc, int keepp) {        \
+    return import_index<CT>(TC, m, efc, ml, dist, scale, n, dim, data, origin,         \
+                            level, rank, entry, nb_layers, widths, lids, ldists,       \
+                            extendc, keepp);                                           \
+  }
+
+HNSW_IMPORT_ABI(f32, float, TCode::F32)
+HNSW_IMPORT_ABI(f64, double, TCode::F64)
+HNSW_IMPORT_ABI(i32, int32_t, TCode::I32)
+HNSW_IMPORT_ABI(u32, uint32_t, TCode::U32)
+HNSW_IMPORT_ABI(u16, uint16_t, TCode::U16)
+HNSW_IMPORT_ABI(u8, uint8_t, TCode::U8)
+#undef HNSW_IMPORT_ABI
 
 // ----- legacy unsuffixed names = f32 (keeps the original header contract) -----
 
@@ -1011,10 +1154,14 @@ int32_t hnsw_file_dump(void* hv, const char* dir, const char* basename) {
                   [&](auto* ix) { return int32_t(dump_index(*ix, dir, basename)); });
 }
 
-// Reload a Full v3/v4 dump; returns a tagged handle of the dumped element type, or
-// NULL on any validation failure (analog of libext.rs generate_loadhnsw!).
-// with_data = 0 skips the data file entirely (NoData reload).
-static void* load_dump(const char* dir, const char* basename, int with_data) {
+// Reload a Full or Light v2/v3/v4 dump; returns a tagged handle of the dumped
+// element type, or NULL on any validation failure (analog of libext.rs
+// generate_loadhnsw!). with_data = 0 skips the data file entirely (NoData reload).
+// A DistPtr dump REQUIRES ptr_fn (reference load_hnsw_with_dist,
+// src/hnswio.rs:531-613): loading one without a distance function is a hard NULL,
+// never a silent remap to L2.
+static void* load_dump(const char* dir, const char* basename, int with_data,
+                       DistFn ptr_fn = nullptr) {
   std::string g = std::string(dir) + "/" + basename + ".hnsw.graph";
   std::string dp = std::string(dir) + "/" + basename + ".hnsw.data";
   std::FILE* fg = std::fopen(g.c_str(), "rb");
@@ -1026,25 +1173,33 @@ static void* load_dump(const char* dir, const char* basename, int with_data) {
   }
   Handle* out = nullptr;
   DumpHeader h;
-  if (parse_header(fg, h) && h.mode == 1) {
+  if (parse_header(fg, h) && (h.mode == 1 || h.mode == 0)) {
     Dist dk = dist_from_name(h.distname.c_str());
+    bool is_ptr = h.distname.find("DistPtr") != std::string::npos;
     const std::string& tn = h.t_name;
-    if (tn == "f32")
-      out = new Handle{TCode::F32, load_index<float>(fg, fd, h.m, h.scale, h.ef, h.nb_point, h.dim, dk, h.version)};
+    if (is_ptr && (!ptr_fn || tn != "f32")) {
+      NLOG(1, "load %s/%s: DistPtr dump needs hnsw_load_ptrdist with an f32 "
+              "distance fn", dir, basename);
+    } else if (tn == "f32") {
+      auto* ix = load_index<float>(fg, fd, h.m, h.scale, h.ef, h.nb_point, h.dim, dk, h.version, h.mode);
+      if (ix && is_ptr) { ix->dist_kind = Dist::Ptr; ix->dist = ptr_fn; }
+      out = new Handle{TCode::F32, ix};
+    }
     else if (tn == "f64")
-      out = new Handle{TCode::F64, load_index<double>(fg, fd, h.m, h.scale, h.ef, h.nb_point, h.dim, dk, h.version)};
+      out = new Handle{TCode::F64, load_index<double>(fg, fd, h.m, h.scale, h.ef, h.nb_point, h.dim, dk, h.version, h.mode)};
     else if (tn == "i32")
-      out = new Handle{TCode::I32, load_index<int32_t>(fg, fd, h.m, h.scale, h.ef, h.nb_point, h.dim, dk, h.version)};
+      out = new Handle{TCode::I32, load_index<int32_t>(fg, fd, h.m, h.scale, h.ef, h.nb_point, h.dim, dk, h.version, h.mode)};
     else if (tn == "u32")
-      out = new Handle{TCode::U32, load_index<uint32_t>(fg, fd, h.m, h.scale, h.ef, h.nb_point, h.dim, dk, h.version)};
+      out = new Handle{TCode::U32, load_index<uint32_t>(fg, fd, h.m, h.scale, h.ef, h.nb_point, h.dim, dk, h.version, h.mode)};
     else if (tn == "u16")
-      out = new Handle{TCode::U16, load_index<uint16_t>(fg, fd, h.m, h.scale, h.ef, h.nb_point, h.dim, dk, h.version)};
+      out = new Handle{TCode::U16, load_index<uint16_t>(fg, fd, h.m, h.scale, h.ef, h.nb_point, h.dim, dk, h.version, h.mode)};
     else if (tn == "u8")
-      out = new Handle{TCode::U8, load_index<uint8_t>(fg, fd, h.m, h.scale, h.ef, h.nb_point, h.dim, dk, h.version)};
+      out = new Handle{TCode::U8, load_index<uint8_t>(fg, fd, h.m, h.scale, h.ef, h.nb_point, h.dim, dk, h.version, h.mode)};
   }
   std::fclose(fg);
   if (fd) std::fclose(fd);
   if (out && !out->ix) { delete out; out = nullptr; }
+  NLOG(2, "load %s/%s -> %s", dir, basename, out ? "ok" : "FAILED");
   return out;
 }
 
@@ -1054,6 +1209,21 @@ void* hnsw_load(const char* dir, const char* basename) {
 
 void* hnsw_load_graph_only(const char* dir, const char* basename) {
   return load_dump(dir, basename, 0);
+}
+
+// Custom-distance reload (reference load_hnsw_with_dist, src/hnswio.rs:531-613 +
+// FFI ptr-dist ctors, src/libext.rs:643-655): reload a DistPtr dump with the
+// caller's distance function. f32 only, like the init ctor.
+void* hnsw_load_ptrdist(const char* dir, const char* basename, DistFn fn) {
+  if (!fn) return nullptr;
+  return load_dump(dir, basename, 1, fn);
+}
+
+// Analog of the reference's init_rust_log (src/libext.rs:1237-1240): set the
+// native tier's verbosity from an embedding. 0 = silent, 1 = info, 2 = debug.
+void hnsw_init_log(int32_t level) {
+  g_log_level.store(level < 0 ? 0 : level);
+  NLOG(2, "native logging initialized at level %d", level);
 }
 
 // must stay layout-identical to hnsw_description in hnsw_tpu.h

@@ -34,14 +34,19 @@ class DataMap:
         if self.dimension and body % self.record_size != 0:
             raise ValueError("data file size is not a whole number of records")
         self.nb_data = body // self.record_size if self.dimension else 0
-        # id -> record ordinal (reference builds an IndexMap of offsets)
-        self._ids = np.zeros(self.nb_data, np.int64)
-        for k in range(self.nb_data):
-            off = _HDR + k * self.record_size
-            magic, = struct.unpack_from("<I", self._mm, off)
-            if magic != MAGICDATAP:
+        # id -> record ordinal (reference builds an IndexMap of offsets) —
+        # vectorized: one strided view over the record headers instead of a
+        # per-record struct.unpack loop (minutes at 1M points on one core)
+        if self.nb_data:
+            hdrs = np.asarray(self._mm[_HDR: _HDR + self.nb_data * self.record_size]
+                              ).reshape(self.nb_data, self.record_size)
+            magics = np.ascontiguousarray(hdrs[:, :4]).view("<u4").ravel()
+            if (magics != MAGICDATAP).any():
+                k = int(np.flatnonzero(magics != MAGICDATAP)[0])
                 raise ValueError(f"bad record magic at record {k}")
-            self._ids[k], = struct.unpack_from("<Q", self._mm, off + 4)
+            self._ids = np.ascontiguousarray(hdrs[:, 4:12]).view("<i8").ravel().copy()
+        else:
+            self._ids = np.zeros(0, np.int64)
         self._index = {int(i): k for k, i in enumerate(self._ids)}
 
     def get_nb_data(self) -> int:

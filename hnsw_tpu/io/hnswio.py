@@ -160,14 +160,43 @@ def data_path(dirpath, basename):
     return os.path.join(dirpath, basename + ".hnsw.data")
 
 
+# Above this size route dump/reload through the native C++ tier (flat-array
+# import + single buffered pass): the Python writer/reader is a per-record
+# struct loop — ~10^8 struct calls at 1M points, tens of minutes on one core.
+# Below it the Python path is instant and avoids a toolchain dependency.
+NATIVE_IO_MIN_POINTS = 5_000
+_NATIVE_METRICS = ("L1", "L2", "Cosine", "Dot", "Hamming", "Jaccard",
+                   "Hellinger", "Jeffreys", "JensenShannon", "Levenshtein")
+
+
+def _native_io_enabled() -> bool:
+    return os.environ.get("HNSW_TPU_NATIVE_IO", "1") not in ("0", "false")
+
+
 def file_dump(hnsw: Hnsw, dirpath, basename: str, mode: str = "Full") -> str:
     """Dump to ``<dir>/<basename>.hnsw.{graph,data}`` — reference ``AnnT::file_dump``
     (``src/api.rs:70-94``). When the live index is mmap-backed the basename is
     uniquified instead of clobbering a possibly-mapped file (reference
-    ``src/hnswio.rs:150-185``)."""
+    ``src/hnswio.rs:150-185``).
+
+    Large Full dumps route through the native C++ writer (flat-array handoff +
+    one buffered pass, byte-identical output — reference single-pass dump
+    ``src/hnswio.rs:1063-1115``); the Python writer below is the oracle and the
+    fallback for small/special dumps."""
     if hnsw.datamap_opt and os.path.exists(graph_path(dirpath, basename)):
         basename = f"{basename}-{np.random.randint(1, 2**31)}"
     full = mode == "Full"
+    if (full and _native_io_enabled() and hnsw._nb_point >= NATIVE_IO_MIN_POINTS
+            and hnsw.metric.name in _NATIVE_METRICS
+            and hnsw.dtype.name in _RUST_TYPE and hnsw._entry >= 0):
+        try:
+            from ..ffi import NativeHnsw
+            nh = NativeHnsw.from_hnsw(hnsw)
+            nh.file_dump(dirpath, basename)
+            return basename
+        except Exception:  # toolchain missing / import failure: Python fallback
+            log.warning("native dump unavailable; falling back to the Python "
+                        "writer", exc_info=True)
     n = hnsw._nb_point
     if hnsw._entry < 0:
         raise ValueError("cannot dump an empty index (no entry point)")
@@ -258,9 +287,40 @@ class HnswIo:
     def load_hnsw(self, dist=None, dtype=None, graph_only: bool = False) -> Hnsw:
         """Rebuild an index from a dump — reference ``HnswIo::load_hnsw``
         (``src/hnswio.rs:431-524``). ``graph_only=True`` is the ``NoData``/``NoDist``
-        reload (topology without vectors)."""
+        reload (topology without vectors). Handles Full and Light dumps (the
+        reference's readers branch on dumpmode, ``src/hnswio.rs:1074-1090``):
+        Light records carry no PointIds, so points take their (layer, rank) from
+        file position and neighbors resolve by external id.
+
+        Large dumps route through the native C++ reader (single buffered pass +
+        flat-array export); the per-record Python parser below is the oracle and
+        the fallback."""
         gpath = graph_path(self.dir, self.basename)
         dpath = data_path(self.dir, self.basename)
+        pre = load_description(gpath)
+        if (_native_io_enabled() and not graph_only and not self.options.datamap
+                and dtype is None and (dist is None or isinstance(dist, str))
+                and pre.nb_point >= NATIVE_IO_MIN_POINTS
+                and pre.t_name in _NP_TYPE
+                and short_dist_name(pre.distname) in _NATIVE_METRICS):
+            if dist is not None:
+                from ..ops.distances import get_metric
+                want = get_metric(dist).name
+                got = short_dist_name(pre.distname)
+                if want != got:
+                    raise ValueError(
+                        f"distance mismatch: dump has {got}, requested {want}")
+            try:
+                from ..ffi import NativeHnsw
+                h = NativeHnsw.load(self.dir, self.basename).to_hnsw()
+                # reference hardcodes these on reload (src/hnswio.rs:507-518)
+                h.extend_candidates = True
+                h.keep_pruned = False
+                h._version += 1
+                return h
+            except Exception:
+                log.warning("native reload unavailable; falling back to the "
+                            "Python reader", exc_info=True)
         with open(gpath, "rb") as g:
             descr = read_description(g)
             if dist is not None:
@@ -274,8 +334,6 @@ class HnswIo:
                 dist = "NoDist"
             np_dtype = dtype or _NP_TYPE.get(descr.t_name, "float32")
             full = descr.dumpmode == 1
-            if not full:
-                raise ValueError("only Full dumps can be reloaded (Light lacks PointIds)")
             hnsw = Hnsw(max_nb_connection=descr.max_nb_connection,
                         max_elements=max(descr.nb_point, 8),
                         max_layer=descr.nb_layer, ef_construction=descr.ef,
@@ -294,6 +352,7 @@ class HnswIo:
             hnsw._ensure_cap(descr.nb_point)
             (nb_layer,) = _r(g, "B")
             pid_to_idx: dict[tuple[int, int], int] = {}
+            oid_to_idx: dict[int, int] = {}  # Light: neighbors resolve by d_id
             raw_points = []  # (idx, [per-layer list of (d_id, p_id, dist)])
             idx = 0
             for layer in range(nb_layer):
@@ -306,36 +365,47 @@ class HnswIo:
                     if magic != MAGICPOINT:
                         raise ValueError("bad point magic")
                     (origin,) = _r(g, "Q")
-                    lv, rk = _r(g, "Bi")
-                    if (lv, rk) != (layer, rank):
-                        raise ValueError(f"point id mismatch: {(lv, rk)} != {(layer, rank)}")
+                    if full:
+                        lv, rk = _r(g, "Bi")
+                        if (lv, rk) != (layer, rank):
+                            raise ValueError(f"point id mismatch: {(lv, rk)} != {(layer, rank)}")
+                    else:  # Light: pid implied by file position
+                        lv, rk = layer, rank
                     hnsw._origin[idx] = origin
                     hnsw._level[idx] = lv
                     hnsw._rank_in_layer[idx] = rk
                     pid_to_idx[(lv, rk)] = idx
+                    oid_to_idx[origin] = idx
                     per_layer = []
                     for _l in range(NB_LAYER_MAX):
                         (nbg,) = _r(g, "Q")
                         lst = []
                         for _j in range(nbg):
                             (d_id,) = _r(g, "Q")
-                            nlv, nrk = _r(g, "Bi")
+                            pid = _r(g, "Bi") if full else None
                             (dd,) = _r(g, "f")
-                            lst.append((d_id, (nlv, nrk), dd))
+                            lst.append((d_id, pid, dd))
                         per_layer.append(lst)
                     raw_points.append((idx, per_layer))
                     idx += 1
                 hnsw._layer_npoints[layer] = nb_in_layer
             (ep_origin,) = _r(g, "Q")
-            ep_lv, ep_rk = _r(g, "Bi")
-            hnsw._entry = pid_to_idx.get((ep_lv, ep_rk), -1)
+            if full:
+                ep_lv, ep_rk = _r(g, "Bi")
+                hnsw._entry = pid_to_idx.get((ep_lv, ep_rk), -1)
+            else:
+                hnsw._entry = oid_to_idx.get(ep_origin, -1)
             hnsw._nb_point = descr.nb_point
-        # pass 2: resolve p_ids, sort each list by distance (reference src/hnswio.rs:720-737)
+        # pass 2: resolve p_ids (Full) / external ids (Light), sort each list by
+        # distance (reference src/hnswio.rs:720-737)
         for idx, per_layer in raw_points:
             for l, lst in enumerate(per_layer):
                 if not lst:
                     continue
-                lst = sorted(((dd, pid_to_idx[pid]) for (_d, pid, dd) in lst))
+                if full:
+                    lst = sorted(((dd, pid_to_idx[pid]) for (_d, pid, dd) in lst))
+                else:
+                    lst = sorted(((dd, oid_to_idx[d_id]) for (d_id, _p, dd) in lst))
                 t = hnsw._layer_table(l)
                 ids = np.fromiter((i for _, i in lst), np.int32, len(lst))
                 dds = np.fromiter((d for d, _ in lst), np.float32, len(lst))

@@ -223,3 +223,77 @@ def test_native_description_and_graph_only_load(native, rng, tmp_path):
     h = g.to_hnsw()  # topology export works and matches the full reload's graph
     full = NativeHnsw.load(tmp_path, "descffi").to_hnsw()
     assert h.check_graph_equality(full)
+
+
+def test_native_ptrdist_dump_reload(native, rng, tmp_path):
+    """Custom-distance persistence on the native tier (VERDICT r2 next #7):
+    hnsw_load on a DistPtr dump is a HARD error (never a silent L2 remap);
+    hnsw_load_ptrdist with the fn restores the index (reference
+    load_hnsw_with_dist, src/hnswio.rs:531-613)."""
+    X = np.abs(_data(rng, n=150)).astype(np.float32)
+
+    def manhattan(a, b):
+        return float(np.abs(a - b).sum())
+
+    nh = native(max_nb_connection=10, max_elements=len(X), ef_construction=64,
+                dist_fn=manhattan)
+    nh.parallel_insert(X, np.arange(len(X)), n_threads=2)
+    nh.file_dump(tmp_path, "ptrd")
+    with pytest.raises(IOError):
+        native.load(tmp_path, "ptrd")  # no fn -> error, not L2
+    r = native.load_ptrdist(tmp_path, "ptrd", manhattan)
+    assert len(r) == len(X)
+    ids, dists = r.search(X[13], 3, 48)
+    assert ids[0] == 13 and dists[0] == pytest.approx(0.0, abs=1e-5)
+    # distances really come from the custom fn (L1 != L2 on this data)
+    want = manhattan(X[13], X[int(ids[1])])
+    assert dists[1] == pytest.approx(want, rel=1e-4)
+
+
+def test_native_reload_keeps_metric(native, rng, tmp_path):
+    """A Dot dump must reload as Dot (dist_from_name used to drop the
+    'anndists::dist::distances::' path prefix match and default every reload
+    to L2)."""
+    from hnsw_tpu.ops.distances import l2_normalize
+    X = l2_normalize(_data(rng, n=200))
+    nh = native(max_nb_connection=10, max_elements=len(X), ef_construction=64,
+                dist="Dot")
+    nh.parallel_insert(X, np.arange(len(X)), n_threads=2)
+    nh.file_dump(tmp_path, "dotd")
+    r = native.load(tmp_path, "dotd")
+    assert r.dist_name == "Dot"
+    q = X[3]
+    ids, dists = r.search(q, 3, 48)
+    want = 1.0 - float(X[int(ids[1])] @ q)  # Dot distance, not L2
+    assert dists[1] == pytest.approx(want, rel=1e-4, abs=1e-5)
+
+
+def test_native_from_hnsw_round_trip(native, rng):
+    """Flat-array import (hnsw_import_*) is the inverse of to_hnsw."""
+    from hnsw_tpu import Hnsw
+    from hnsw_tpu.ffi import NativeHnsw
+    X = _data(rng, n=250)
+    h = Hnsw(max_nb_connection=10, max_elements=len(X), ef_construction=80)
+    for i, v in enumerate(X):
+        h.insert(v, i)
+    nh = NativeHnsw.from_hnsw(h)
+    assert len(nh) == len(X)
+    ids, dists = nh.search(X[42], 3, 48)
+    assert ids[0] == 42 and dists[0] == pytest.approx(0.0, abs=1e-5)
+    back = nh.to_hnsw()
+    assert h.check_graph_equality(back)
+
+
+def test_native_log_init(native, capfd):
+    """C-ABI logging init (init_rust_log analog, VERDICT r2 next #7): debug
+    level makes the native tier report operations on stderr."""
+    from hnsw_tpu.ffi import init_native_log
+    init_native_log(2)
+    try:
+        nh = native(max_nb_connection=8, max_elements=64, ef_construction=32)
+        nh.parallel_insert(np.random.default_rng(0).random((64, 8)).astype(np.float32),
+                           np.arange(64), n_threads=1)
+        err = capfd.readouterr().err
+        assert "[hnsw_core]" in err
+    finally:
+        init_native_log(0)
