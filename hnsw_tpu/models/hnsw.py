@@ -599,13 +599,28 @@ class Hnsw:
             out.append(row)
         return out
 
-    def search_batch(self, queries, knbn: int, ef: int, filter=None):
+    def search_batch(self, queries, knbn: int, ef: int, filter=None,
+                     pool: Optional[int] = None, seeds: int = 4):
         """Device batched search over the dense graph: returns (internal_ids[B,k],
-        dists[B,k]); ids are ``-1`` padded."""
+        dists[B,k]); ids are ``-1`` padded. ``pool`` (>= knbn) accumulates every
+        scored candidate into a reservoir and reranks it exactly — the large-k
+        serving mode (beam stays narrow while the pool carries the results)."""
         from ..ops.beam_search import device_search_batch
-        return device_search_batch(self, np.asarray(queries, dtype=self.dtype), knbn, ef, filter)
+        return device_search_batch(self, np.asarray(queries, dtype=self.dtype),
+                                   knbn, ef, filter, pool=pool, seeds=seeds)
 
     # ------------------------------------------------------------- device graph -----
+
+    def set_entry_pivots(self, count: Optional[int] = None):
+        """Entry pivot set for the device search path. ``None`` (default): all
+        level>=1 points — the upper HNSW hierarchy, scanned in one MXU matmul
+        instead of the greedy descent. An int widens the set with an evenly
+        spaced corpus sample (IVF-style coarse index: closer starts, fewer beam
+        iterations). ``0`` disables pivots (greedy descent entry)."""
+        if count is not None and count < 0:
+            raise ValueError(f"pivot count must be >= 0, got {count}")
+        self._pivot_count = count
+        self._device_cache = None
 
     def set_device_dtype(self, dtype):
         """Vector dtype of the device search path: float32 (default) or bfloat16

@@ -73,6 +73,37 @@ def scores_gathered(metric_name: str, q: jax.Array, cvecs: jax.Array,
     return m.jnp_scores(q, cvecs)
 
 
+def scores_matmul(metric_name: str, q, pv, psq):
+    """Distances of every query to a fixed pivot set: [B,d] x [P,d] -> [B,P]
+    through ONE MXU matmul (inner-product family only). This is how the search
+    path evaluates the upper HNSW hierarchy: all level>=1 points at once."""
+    qf = q.astype(jnp.float32)
+    g = jnp.einsum("bd,pd->bp", qf, pv.astype(jnp.float32))
+    if metric_name in ("L2", "DistL2"):
+        qsq = (qf * qf).sum(-1)[:, None]
+        return jnp.sqrt(jnp.maximum(qsq - 2.0 * g + psq[None, :], 0.0))
+    if metric_name in ("Dot", "DistDot"):
+        return 1.0 - g
+    if metric_name in ("Cosine", "DistCosine"):
+        qn = jnp.linalg.norm(qf, axis=-1)[:, None]
+        pn = jnp.sqrt(jnp.maximum(psq, 1e-20))[None, :]
+        return 1.0 - g / jnp.maximum(qn * pn, 1e-10)
+    raise NotImplementedError(f"pivot scan unsupported for {metric_name}")
+
+
+def _dedup_pairs(ids, dd):
+    """Remove duplicate ids from (ids, dists) rows: sort by id, mask repeats,
+    re-sort by distance. Two sorts of the row — cheap, once per batch."""
+    B = ids.shape[0]
+    si, sd = lax.sort((ids, dd), dimension=1, num_keys=1)
+    dup = jnp.concatenate([jnp.zeros((B, 1), bool), si[:, 1:] == si[:, :-1]],
+                          axis=1) | (si < 0)
+    sd = jnp.where(dup, INF, sd)
+    si = jnp.where(dup, -1, si)
+    sd2, si2 = lax.sort((sd, si), dimension=1, num_keys=1)
+    return si2, sd2
+
+
 def _merge_beam(beam_ids, beam_d, new_ids, new_d, ef: int):
     """(beam ∪ candidates) -> best ef, ascending — EXACT, via a key-value sort.
 
@@ -118,7 +149,8 @@ def _pallas_scores_ok(B: int, d: int) -> bool:
     return backend != "cpu" and B % 8 == 0 and d % 128 == 0
 
 
-def scores_codec(codec, q, src_c, qsq, qnorm, q_i8=None, q_i8_scale=None):
+def scores_codec(codec, q, src_c, qsq, qnorm, q_i8=None, q_i8_scale=None,
+                 allow_fused=True):
     """Approximate distances of each query to the E expanded nodes' full
     neighborhoods, via the blocked quantized store: [B,E] block rows -> [B,E*M0].
     One contiguous ~M0*d-byte gather row per expanded node instead of M0 scattered
@@ -133,18 +165,32 @@ def scores_codec(codec, q, src_c, qsq, qnorm, q_i8=None, q_i8_scale=None):
     """
     B = q.shape[0]
     E = src_c.shape[1]
-    blk = codec.blocks[src_c]  # [B, E, M0*d]
     K = E * codec.M0
-    csq = codec.blocks_sq[src_c].reshape(B, K)
     m = codec.metric_name
-    if blk.dtype == jnp.int8 and _pallas_scores_ok(B, codec.dim):
-        from .pallas_scores import pallas_codec_scores
+    if codec.blocks.dtype == jnp.int8 and _pallas_scores_ok(B, codec.dim):
         form = ("l2" if m in ("L2", "DistL2")
                 else "dot" if m in ("Dot", "DistDot") else "cosine")
         qsn = qsq if form == "l2" else qnorm
+        if allow_fused:
+            # fused gather+score kernel: the blocks are DMA'd from the HBM
+            # table inside the kernel (scalar-prefetched indices), crossing
+            # HBM once — the XLA-gather form round-trips the [B, K*d] gather
+            # through HBM first (measured 1.9x slower at B=8192 E=4 on the 1M
+            # codec). Callers must run it from an UNROLLED loop — see
+            # beam_search_layer (while_loop + in-kernel DMA hangs compilation).
+            # codec.blocks is stored [cap1, M0, d]: reshaping the captured
+            # table in-program would copy all 6 GB (compile-time HBM OOM).
+            from .pallas_scores import pallas_fused_codec_scores
+            return pallas_fused_codec_scores(src_c, q, qsn, codec.scale,
+                                             codec.blocks, E, form=form, qt=8)
+        from .pallas_scores import pallas_codec_scores
+        blk = codec.blocks[src_c]  # [B, E, M0, d]
+        csq = codec.blocks_sq[src_c].reshape(B, K)
         qt = 16 if B % 16 == 0 else 8
         return pallas_codec_scores(q, blk.reshape(B, K * codec.dim), csq, qsn,
                                    codec.scale, form=form, qt=qt)
+    blk = codec.blocks[src_c]  # [B, E, M0, d]
+    csq = codec.blocks_sq[src_c].reshape(B, K)
     cb = blk.reshape(B, K, codec.dim)
     if q_i8 is not None and cb.dtype == jnp.int8:
         ip = jnp.einsum("bd,bkd->bk", q_i8, cb,
@@ -178,7 +224,7 @@ def exact_rerank(metric_name, vectors, sqnorms, q, ids, k: int):
 def beam_search_layer(metric_name: str, vectors, sqnorms, tbl_ids, q, start_ids,
                       start_dists, *, ef: int, expand: int = 4,
                       mask=None, active=None, max_iters: Optional[int] = None,
-                      codec=None, term_slack: float = 1.0):
+                      codec=None, term_slack: float = 1.0, pool: int = 0):
     """Beam search within one layer for a batch of queries — SCATTER-FREE.
 
     The reference's per-query visited HashMap (``src/hnsw.rs:956-958``) has no cheap
@@ -206,9 +252,16 @@ def beam_search_layer(metric_name: str, vectors, sqnorms, tbl_ids, q, start_ids,
       codec: optional BeamCodec for this layer — traversal scores come from the
         blocked quantized store instead of the f32 gather; callers should
         ``exact_rerank`` the returned beam (``device_search_batch`` does).
+      pool: if > 0, ALSO accumulate every scored candidate into a top-``pool``
+        reservoir (deduped at the end) and return it as a third/fourth output.
+        The reservoir decouples the RESULT width from the traversal beam width:
+        large-k serving keeps ef small (the per-iteration sort cost) while the
+        pool retains pool >> ef candidates for the final exact rerank. Under a
+        ``mask`` the pool admits only filter-passing candidates.
 
     Returns (beam_ids [B,ef], beam_dists [B,ef]) sorted ascending; if ``mask`` is
-    given these are the *filtered* result beam.
+    given these are the *filtered* result beam. With ``pool`` > 0 returns
+    (beam_ids, beam_dists, pool_ids [B,pool], pool_dists [B,pool]).
     """
     B, d = q.shape
     cap1, M = tbl_ids.shape
@@ -221,18 +274,39 @@ def beam_search_layer(metric_name: str, vectors, sqnorms, tbl_ids, q, start_ids,
 
     if active is None:
         active = jnp.ones((B,), dtype=bool)
-    start_ok = active & (start_ids >= 0)
-    beam_ids = jnp.full((B, ef), -1, jnp.int32).at[:, 0].set(jnp.where(start_ok, start_ids, -1))
-    beam_d = jnp.full((B, ef), INF).at[:, 0].set(jnp.where(start_ok, start_dists, INF))
+    # multi-seed starts: [B] (single entry) or [B, S] (e.g. top-S pivots) —
+    # several diverse entries in the initial beam cost nothing per iteration
+    if start_ids.ndim == 1:
+        start_ids = start_ids[:, None]
+        start_dists = start_dists[:, None]
+    S = start_ids.shape[1]
+    assert S <= ef and (not pool or S <= int(pool)), (S, ef, pool)
+    start_ids = start_ids.astype(jnp.int32)
+    start_ok = active[:, None] & (start_ids >= 0)
+    pad_ids = jnp.full((B, ef - S), -1, jnp.int32)
+    pad_d = jnp.full((B, ef - S), INF)
+    beam_ids = jnp.concatenate([jnp.where(start_ok, start_ids, -1), pad_ids], axis=1)
+    beam_d = jnp.concatenate([jnp.where(start_ok, start_dists, INF), pad_d], axis=1)
     use_mask = mask is not None
     if use_mask:
         start_pass = start_ok & mask[jnp.clip(start_ids, 0, cap1 - 1)]
-        res_ids = jnp.full((B, ef), -1, jnp.int32).at[:, 0].set(jnp.where(start_pass, start_ids, -1))
-        res_d = jnp.full((B, ef), INF).at[:, 0].set(jnp.where(start_pass, start_dists, INF))
+        res_ids = jnp.concatenate([jnp.where(start_pass, start_ids, -1), pad_ids], axis=1)
+        res_d = jnp.concatenate([jnp.where(start_pass, start_dists, INF), pad_d], axis=1)
     else:
         res_ids = res_d = None
+    R = int(pool)
+    if R:
+        seed_ok = start_pass if use_mask else start_ok
+        pool_ids = jnp.concatenate(
+            [jnp.where(seed_ok, start_ids, -1),
+             jnp.full((B, R - S), -1, jnp.int32)], axis=1)
+        pool_d = jnp.concatenate(
+            [jnp.where(seed_ok, start_dists, INF), jnp.full((B, R - S), INF)],
+            axis=1)
+    else:
+        pool_ids = pool_d = None
     hist = jnp.full((B, H), -2, jnp.int32)  # -2: never matches a real id or -1 pad
-    done = ~start_ok
+    done = ~start_ok.any(axis=1)
     tri = (jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
            < jax.lax.broadcasted_iota(jnp.int32, (K, K), 0))  # tri[k, j] = j < k
     qsq = (q.astype(jnp.float32) ** 2).sum(-1)[:, None]
@@ -241,13 +315,18 @@ def beam_search_layer(metric_name: str, vectors, sqnorms, tbl_ids, q, start_ids,
         q_i8, q_i8_scale = quantize_queries(q)  # once per batch, outside the loop
     else:
         q_i8 = q_i8_scale = None
+    # the fused gather+score kernel requires an UNROLLED loop (in-kernel DMA
+    # inside lax.while_loop hangs the remote compile pipeline — measured r3);
+    # cap the unroll length so pathological max_iters keep the while_loop form
+    use_fused = (codec is not None and codec.blocks.dtype == jnp.int8
+                 and _pallas_scores_ok(B, codec.dim) and max_iters <= 48)
 
     def cond(state):
         it, done, *_ = state
         return (it < max_iters) & ~jnp.all(done)
 
     def body(state):
-        it, done, beam_ids, beam_d, res_ids, res_d, hist = state
+        it, done, beam_ids, beam_d, res_ids, res_d, pool_ids, pool_d, hist = state
         # 1. pick the E nearest unexpanded beam entries per query (expanded ==
         #    present in the history ring — no flag array, no scatter)
         beam_exp = (beam_ids[:, :, None] == hist[:, None, :]).any(-1)
@@ -286,7 +365,8 @@ def beam_search_layer(metric_name: str, vectors, sqnorms, tbl_ids, q, start_ids,
         # 4. score candidates: blocked quantized store (one row per expanded node)
         #    or the exact f32 row gather
         if codec is not None:
-            sc = scores_codec(codec, q, src_c, qsq, qnorm, q_i8, q_i8_scale)
+            sc = scores_codec(codec, q, src_c, qsq, qnorm, q_i8, q_i8_scale,
+                              allow_fused=use_fused)
         else:
             cvecs = vectors[nbr_c]  # [B,K,d]
             sc = scores_gathered(metric_name, q, cvecs, sqnorms[nbr_c])
@@ -299,15 +379,37 @@ def beam_search_layer(metric_name: str, vectors, sqnorms, tbl_ids, q, start_ids,
             r_ids, r_d = _merge_beam(res_ids, res_d, jnp.where(passf, nbr, -1),
                                      jnp.where(passf, sc, INF), ef)
         else:
+            passf = None
             r_ids, r_d = res_ids, res_d
-        return (it + 1, step_done, beam_ids, beam_d, r_ids, r_d, hist)
+        if R:
+            c_ids = jnp.where(passf, nbr, -1) if use_mask else new_ids
+            c_d = jnp.where(passf, sc, INF) if use_mask else sc
+            p_ids, p_d = _merge_beam(pool_ids, pool_d, c_ids, c_d, R)
+        else:
+            p_ids, p_d = pool_ids, pool_d
+        return (it + 1, step_done, beam_ids, beam_d, r_ids, r_d, p_ids, p_d, hist)
 
-    state = (jnp.int32(0), done, beam_ids, beam_d, res_ids, res_d, hist)
-    state = lax.while_loop(cond, body, state)
-    _, _, beam_ids, beam_d, res_ids, res_d, _ = state
-    if use_mask:
-        return res_ids, res_d
-    return beam_ids, beam_d
+    state = (jnp.int32(0), done, beam_ids, beam_d, res_ids, res_d,
+             pool_ids, pool_d, hist)
+    # The fused gather+score kernel (in-kernel DMA with scalar prefetch) hangs
+    # the remote Mosaic/XLA pipeline when launched from inside lax.while_loop
+    # (measured: >55 min with no progress vs seconds standalone). Unroll the
+    # loop instead: identical math (done-masked queries contribute nothing),
+    # the iteration index constant-folds (hist updates become static slices),
+    # and each unrolled step reuses the one compiled kernel. Early exit is
+    # lost, but at production operating points max_iters is tuned to the knee
+    # anyway (while_loop measured == fori_loop there).
+    if use_fused:
+        for _ in range(int(max_iters)):
+            state = body(state)
+    else:
+        state = lax.while_loop(cond, body, state)
+    _, _, beam_ids, beam_d, res_ids, res_d, pool_ids, pool_d, _ = state
+    out_ids, out_d = (res_ids, res_d) if use_mask else (beam_ids, beam_d)
+    if R:
+        pool_ids, pool_d = _dedup_pairs(pool_ids, pool_d)
+        return out_ids, out_d, pool_ids, pool_d
+    return out_ids, out_d
 
 
 def greedy_scan_descent(metric_name, vectors, sqnorms, layer_ids, q, pivot, pivot_d,
@@ -398,51 +500,87 @@ def _resolve_slack(term_slack, codec) -> float:
 
 def search_program(g, q, mask, *, ef: int, knbn: int, expand: int, use_mask: bool,
                    max_iters=None, codec=None, term_slack: float = 1.0,
-                   rerank: Optional[int] = None):
-    """Full production search: greedy descent then beam search at the lowest
-    non-empty layer — reference ``search_filter`` (``src/hnsw.rs:1487-1599``).
-    With a ``codec`` the beam traverses the quantized blocked store and the final
-    beam is re-scored against the exact f32 vectors before truncation to knbn.
+                   rerank: Optional[int] = None, pool: Optional[int] = None,
+                   seeds: int = 1):
+    """Full production search — reference ``search_filter``
+    (``src/hnsw.rs:1487-1599``), re-architected for the MXU:
+
+      * entry point: when the graph snapshot carries ``pivot_ids`` (all level>=1
+        points), ONE batched matmul scores the query against the entire upper
+        hierarchy and the beam starts at the argmin — a strictly better start
+        than the reference's greedy per-layer descent (a local minimum of the
+        same point set), and several beam iterations cheaper. Small graphs (or
+        non-inner-product metrics) keep the descent.
+      * with a ``codec`` the beam traverses the quantized blocked store and the
+        final candidates are re-scored against the exact f32 vectors.
+      * ``pool`` (>= knbn) accumulates every scored candidate into a top-pool
+        reservoir; the exact rerank then runs over the pool instead of the
+        beam, so large-k serving can keep the traversal beam narrow
+        (``ef`` < knbn is allowed when pool is set).
+
     ``mask`` may be None when ``use_mask`` is False (saves a per-call [cap1]
     host->device upload over the axon tunnel).
-    ``rerank`` caps the exact re-score to the best ``rerank`` approx-ranked beam
-    entries (>= knbn; default: the whole beam) — the final f32 row gather is a
-    real cost at large corpus sizes and int8 traversal ranks are accurate enough
-    that a margin of ~2-3x knbn loses nothing measurable."""
+    ``rerank`` caps the exact re-score to the best ``rerank`` approx-ranked
+    entries (>= knbn; default: the whole beam/pool) — the final f32 row gather
+    is a real cost at large corpus sizes and int8 traversal ranks are accurate
+    enough that a margin of ~2-3x knbn loses nothing measurable."""
     q = q.astype(jnp.float32)  # f16/bf16 query ingest: all math stays f32
     B = q.shape[0]
-    ev = g.vectors[g.entry][None, :]
-    d0 = scores_gathered(g.metric_name, q, jnp.broadcast_to(ev[:, None, :], (B, 1, q.shape[1])),
-                         jnp.broadcast_to(g.sqnorms[g.entry][None, None], (B, 1)))[:, 0]
-    pivot = jnp.broadcast_to(g.entry, (B,)).astype(jnp.int32)
     layer0 = next((l for l, ne in enumerate(g.layer_nonempty) if ne), 0)
-    pivot, d0 = greedy_scan_descent(g.metric_name, g.vectors, g.sqnorms, g.layer_ids,
-                                    q, pivot, d0, top_layer=g.num_layers - 1,
-                                    stop_layer=max(layer0, 0))
+    if getattr(g, "pivot_ids", None) is not None:
+        pv = g.vectors[g.pivot_ids].astype(jnp.float32)  # [P, d]
+        psc = scores_matmul(g.metric_name, q, pv, g.sqnorms[g.pivot_ids])
+        if seeds > 1:  # top-S pivots seed the beam with diverse entries
+            neg, j = lax.top_k(-psc, seeds)
+            pivot = g.pivot_ids[j].astype(jnp.int32)  # [B, S]
+            d0 = -neg
+        else:
+            j = jnp.argmin(psc, axis=1)
+            pivot = g.pivot_ids[j].astype(jnp.int32)
+            d0 = jnp.take_along_axis(psc, j[:, None], axis=1)[:, 0]
+    else:
+        ev = g.vectors[g.entry][None, :]
+        d0 = scores_gathered(g.metric_name, q,
+                             jnp.broadcast_to(ev[:, None, :], (B, 1, q.shape[1])),
+                             jnp.broadcast_to(g.sqnorms[g.entry][None, None], (B, 1)))[:, 0]
+        pivot = jnp.broadcast_to(g.entry, (B,)).astype(jnp.int32)
+        pivot, d0 = greedy_scan_descent(g.metric_name, g.vectors, g.sqnorms,
+                                        g.layer_ids, q, pivot, d0,
+                                        top_layer=g.num_layers - 1,
+                                        stop_layer=max(layer0, 0))
     tbl = (g.layer_ids[layer0] if layer0 < g.num_layers
            else jnp.full((g.cap1, 1), -1, jnp.int32))
     if codec is not None and codec.M0 < tbl.shape[1]:
         tbl = tbl[:, :codec.M0]  # width-capped codec: traverse the same slice
-    ids, dists = beam_search_layer(
+    P = 0 if pool is None else max(int(pool), knbn)
+    ef_t = ef if P else max(ef, knbn)  # pool carries results; beam can be narrow
+    out = beam_search_layer(
         g.metric_name, g.vectors, g.sqnorms, tbl,
-        q, pivot, d0, ef=max(ef, knbn), expand=expand, max_iters=max_iters,
-        mask=mask if use_mask else None, codec=codec, term_slack=term_slack)
-    if codec is not None:
+        q, pivot, d0, ef=ef_t, expand=expand, max_iters=max_iters,
+        mask=mask if use_mask else None, codec=codec, term_slack=term_slack,
+        pool=P)
+    if P:
+        _, _, ids, dists = out
+    else:
+        ids, dists = out
+    if codec is not None or P:
         R = ids.shape[1] if rerank is None else max(int(rerank), knbn)
         R = min(R, ids.shape[1])
         ids, dists = exact_rerank(g.metric_name, g.vectors, g.sqnorms, q,
-                                  ids[:, :R], min(max(ef, knbn), R))
+                                  ids[:, :R], min(max(ef_t, knbn, P), R))
     return ids[:, :knbn], dists[:, :knbn]
 
 
 _search_program = jax.jit(search_program,
                           static_argnames=("ef", "knbn", "expand", "use_mask",
-                                           "max_iters", "term_slack", "rerank"))
+                                           "max_iters", "term_slack", "rerank",
+                                           "pool", "seeds"))
 
 
 def search_program_super(g, qs, mask, *, ef: int, knbn: int, expand: int,
                          use_mask: bool, max_iters=None, codec=None,
-                         term_slack: float = 1.0, rerank: Optional[int] = None):
+                         term_slack: float = 1.0, rerank: Optional[int] = None,
+                         pool: Optional[int] = None, seeds: int = 1):
     """S sub-batches in ONE device program: ``lax.map`` over ``qs [S, B, d]``.
 
     The axon tunnel costs ~30 ms per host round trip (upload / dispatch / fetch),
@@ -453,21 +591,23 @@ def search_program_super(g, qs, mask, *, ef: int, knbn: int, expand: int,
     def one(q):
         return search_program(g, q, mask, ef=ef, knbn=knbn, expand=expand,
                               use_mask=use_mask, max_iters=max_iters, codec=codec,
-                              term_slack=term_slack, rerank=rerank)
+                              term_slack=term_slack, rerank=rerank, pool=pool,
+                              seeds=seeds)
     return lax.map(one, qs)
 
 
 _search_program_super = jax.jit(search_program_super,
                                 static_argnames=("ef", "knbn", "expand",
                                                  "use_mask", "max_iters",
-                                                 "term_slack", "rerank"))
+                                                 "term_slack", "rerank", "pool",
+                                                 "seeds"))
 
 
 def device_search_stream(hnsw, queries: np.ndarray, knbn: int, ef: int,
                          batch: int = 4096, expand: int = 4, max_iters=None,
                          term_slack: float | None = None, super_batches: int = 1,
                          rerank: int | None = None, query_dtype=None,
-                         filter=None):
+                         filter=None, pool: int | None = None, seeds: int = 4):
     """Pipelined serving: dispatch work unit i+1 before fetching unit i, so host
     transfers overlap device compute. Returns (ids, dists) over all queries — the
     sustained-throughput path for large query streams.
@@ -566,7 +706,7 @@ def device_search_stream(hnsw, queries: np.ndarray, knbn: int, ef: int,
                         g, dev, mask, ef=int(ef),
                         knbn=int(knbn), expand=int(expand), use_mask=use_mask,
                         max_iters=max_iters, codec=codec, term_slack=slack,
-                        rerank=rerank)
+                        rerank=rerank, pool=pool, seeds=seeds)
                     ids = ids.reshape(SB, -1)
                     dists = dists.reshape(SB, -1)
                 else:
@@ -574,7 +714,8 @@ def device_search_stream(hnsw, queries: np.ndarray, knbn: int, ef: int,
                                                  knbn=int(knbn), expand=int(expand),
                                                  use_mask=use_mask, max_iters=max_iters,
                                                  codec=codec, term_slack=slack,
-                                                 rerank=rerank)
+                                                 rerank=rerank, pool=pool,
+                                                 seeds=seeds)
                 pending.append((ws, we, ids, dists))
             while pending and (done_staging or len(pending) > 1):
                 ps, pe, ids, dists = pending.pop(0)
@@ -599,7 +740,8 @@ def device_search_stream(hnsw, queries: np.ndarray, knbn: int, ef: int,
 
 def device_search_batch(hnsw, queries: np.ndarray, knbn: int, ef: int, filter=None,
                         expand: int = 4, max_iters=None,
-                        term_slack: float | None = None):
+                        term_slack: float | None = None, pool: int | None = None,
+                        seeds: int = 4):
     """Host wrapper: snapshot graph to device (cached), build the filter mask, run the
     jitted program, return numpy (internal ids [B,knbn] -1-padded, dists)."""
     if max_iters is None:
@@ -627,7 +769,8 @@ def device_search_batch(hnsw, queries: np.ndarray, knbn: int, ef: int, filter=No
     ids, dists = _search_program(g, jnp.asarray(q), mask, ef=int(ef), knbn=int(knbn),
                                  expand=int(expand), use_mask=filter is not None,
                                  max_iters=max_iters, codec=codec,
-                                 term_slack=_resolve_slack(term_slack, codec))
+                                 term_slack=_resolve_slack(term_slack, codec),
+                                 pool=pool, seeds=seeds)
     ids = np.array(ids[:B])
     dists = np.array(dists[:B])
     ids[~np.isfinite(dists)] = -1

@@ -36,27 +36,30 @@ def _round_up(x: int, m: int) -> int:
 
 @partial(jax.jit, donate_argnums=0)
 def _blocks_update(blocks, rows, start):
-    return jax.lax.dynamic_update_slice(blocks, rows, (start, 0))
+    return jax.lax.dynamic_update_slice(blocks, rows, (start, 0, 0))
 
 
 def _gather_blocks(vq, safe):
-    """blocks[g] = vq[safe[g]] flattened to [cap1, M0*d], built in ~512MB chunks
-    with donated in-place writes — the one-shot gather+reshape needs 2x the final
-    array transiently (12GB at 1M x 48 x 128 int8), which blows v5e HBM."""
+    """blocks[g] = vq[safe[g]] as [cap1, M0, d], built in ~512MB chunks with
+    donated in-place writes — the one-shot gather needs 2x the final array
+    transiently (12GB at 1M x 48 x 128 int8), which blows v5e HBM. The blocks
+    stay 3-D: the fused gather+score kernel addresses whole [M0, d] rows from
+    HBM, and reshaping a captured 6GB table inside a jitted program costs a
+    full second copy (measured: compile-time OOM at 17.9G/15.75G)."""
     cap1, M0 = safe.shape
     d = vq.shape[1]
     itemsize = jnp.dtype(vq.dtype).itemsize
     chunk = max(1024, (1 << 29) // max(1, M0 * d * itemsize))
     if cap1 <= 2 * chunk:
-        return vq[safe].reshape(cap1, M0 * d)
-    blocks = jnp.zeros((cap1, M0 * d), vq.dtype)
+        return vq[safe]
+    blocks = jnp.zeros((cap1, M0, d), vq.dtype)
     s = 0
     while s < cap1:
         e = min(s + chunk, cap1)
         if e - s < chunk:  # keep one jit signature: final chunk re-spans backward
             s = cap1 - chunk
             e = cap1
-        rows = vq[safe[s:e]].reshape(e - s, M0 * d)
+        rows = vq[safe[s:e]]
         blocks = _blocks_update(blocks, rows, jnp.int32(s))
         s = e
     return blocks
@@ -86,7 +89,7 @@ class BeamCodec:
     store L2-normalized rows so the Dot form applies.
     """
 
-    blocks: jax.Array  # [cap1, M0*d] int8 (or bfloat16 with scale == 1)
+    blocks: jax.Array  # [cap1, M0, d] int8 (or bfloat16 with scale == 1)
     blocks_sq: jax.Array  # [cap1, M0] f32
     scale: jax.Array  # [] f32 dequantization multiplier
     M0: int = 0
@@ -147,7 +150,14 @@ class BeamCodec:
 
     @property
     def nbytes(self) -> int:
-        return self.blocks.size * self.blocks.dtype.itemsize + self.blocks_sq.size * 4
+        return (self.blocks.size * jnp.dtype(self.blocks.dtype).itemsize
+                + self.blocks_sq.size * 4)
+
+
+# Pivot-start threshold: below this the graph is small enough that the greedy
+# upper-layer descent is already ~free (and tests compare against the serial
+# oracle's descent); above it, the MXU scan strictly improves the entry point.
+PIVOT_MIN_POINTS = 32_768
 
 
 @jax.tree_util.register_pytree_node_class
@@ -162,6 +172,15 @@ class GraphArrays:
     layer_ids: tuple  # tuple of [cap1, width_l] i32
     layer_dists: tuple  # tuple of [cap1, width_l] f32 (may be empty tuple for search-only)
     entry: jax.Array  # [] i32
+    # pivot_ids: indices of all level>=1 points — the upper HNSW hierarchy as a
+    # flat array. The search path brute-force scores the query against ALL of
+    # them on the MXU (one [B,P]x[P,d] matmul, ~0.1 ms at P~2k) and starts the
+    # layer-0 beam at the argmin: a strictly better entry than the reference's
+    # greedy per-layer descent (which finds a LOCAL minimum of the same point
+    # set, ``src/hnsw.rs:1511-1529``), and 3-5 beam iterations cheaper. This is
+    # the TPU-native reading of the HNSW hierarchy: upper layers exist to find
+    # entry points, and a systolic matmul does that better than pointer hops.
+    pivot_ids: Optional[jax.Array] = None  # [P] i32, or None (small graphs)
     # -- static metadata (hashable aux data) --
     n: int = 0  # number of live points
     cap1: int = 0  # padded capacity incl. sink row
@@ -172,7 +191,7 @@ class GraphArrays:
 
     def tree_flatten(self):
         children = (self.vectors, self.sqnorms, self.levels, self.layer_ids,
-                    self.layer_dists, self.entry)
+                    self.layer_dists, self.entry, self.pivot_ids)
         aux = (self.n, self.cap1, self.entry_level, self.layer_nonempty,
                self.metric_name, self.version)
         return children, aux
@@ -210,6 +229,27 @@ class GraphArrays:
             ldists.append(jnp.asarray(dd))
         vec = jnp.asarray(v, dtype=device_dtype)
         nonempty = tuple(bool(hnsw.get_layer_nb_point(l) > 0) for l in range(max_layer + 1))
+        pivots = None
+        pivot_count = getattr(hnsw, "_pivot_count", None)
+        if (pivot_count != 0 and n >= PIVOT_MIN_POINTS
+                and hnsw.metric.name in ("L2", "DistL2", "Dot", "DistDot",
+                                         "Cosine", "DistCosine")):
+            pv = np.flatnonzero(hnsw._level[:n] >= 1).astype(np.int32)
+            # IVF-style widened pivot set: the hierarchy's level>=1 points plus
+            # an evenly spaced corpus sample. The beam only runs on layer 0, so
+            # ANY point can serve as an entry pivot; more pivots = closer
+            # starts = fewer beam iterations, for one (cheap, MXU-resident)
+            # extra matmul. Auto policy: ~n/64 pivots capped at 16k (measured
+            # at 1M: +0.0013 recall over the bare 1752-point hierarchy for
+            # ~0.3 ms of matmul per 8k-query batch).
+            need = (min(16_384, max(len(pv), n // 64)) if pivot_count is None
+                    else int(pivot_count))
+            if need > len(pv):
+                step = max(1, n // max(need - len(pv), 1))
+                fill = np.arange(0, n, step, dtype=np.int32)
+                pv = np.unique(np.concatenate([pv, fill]))[:need]
+            if len(pv) >= 8:
+                pivots = jnp.asarray(pv)
         return cls(
             vectors=vec,
             sqnorms=(vec.astype(jnp.float32) ** 2).sum(-1),
@@ -217,6 +257,7 @@ class GraphArrays:
             layer_ids=tuple(lids),
             layer_dists=tuple(ldists) if with_dists else (),
             entry=jnp.int32(hnsw._entry if hnsw._entry >= 0 else 0),
+            pivot_ids=pivots,
             n=n,
             cap1=cap1,
             entry_level=hnsw.get_max_level_observed(),

@@ -88,3 +88,91 @@ def pallas_codec_scores(q, blk, csq, qsq_or_norm, scale, form: str = "l2",
 # Mosaic) ran 3x SLOWER than leaving them to XLA (17.4 vs 5.5 ms/iter at
 # B=4096, identical beam ids) — Mosaic lowers the non-128-aligned K=192
 # broadcast reductions poorly. The masks stay in beam_search.beam_search_layer.
+
+
+def _fused_kernel(src_ref, scale_ref, q_ref, qsn_ref, blocks_ref, out_ref,
+                  scratch, sems, *, E: int, M0: int, d: int, QT: int,
+                  form: str):
+    """Gather + dequant + dot + norms in ONE kernel: the expanded nodes' int8
+    neighborhood blocks are DMA'd straight from the HBM codec table into a
+    double-buffered VMEM scratch (indices arrive via scalar prefetch), so the
+    blocks cross HBM once per iteration. The XLA-gather form writes the
+    [B, E, M0*d] gather result to HBM and re-reads it in the score kernel —
+    3x the traffic (measured on v5e, 1M codec, B=8192 E=4: 21 ms fused vs
+    40 ms gather+kernel, bit-identical output). ``csq`` is recomputed from the
+    dequantized block in VMEM, eliminating the blocks_sq gather entirely."""
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    RE = QT * E
+
+    def issue(step, slot):
+        base = step * RE
+        for j in range(RE):
+            idx = src_ref[base + j]
+            pltpu.make_async_copy(blocks_ref.at[idx], scratch.at[slot, j],
+                                  sems.at[slot, j]).start()
+
+    @pl.when(i == 0)
+    def _():
+        issue(0, 0)
+
+    @pl.when(i + 1 < n)
+    def _():
+        issue(i + 1, (i + 1) % 2)
+
+    slot = i % 2
+    for j in range(RE):
+        idx = src_ref[i * RE + j]
+        pltpu.make_async_copy(blocks_ref.at[idx], scratch.at[slot, j],
+                              sems.at[slot, j]).wait()
+    blk = scratch[slot].reshape(QT, E, M0, d).astype(jnp.float32)
+    qv = q_ref[:]  # [QT, d] f32
+    sc = scale_ref[0, 0]
+    ip = (blk * qv[:, None, None, :]).sum(-1).reshape(QT, E * M0) * sc
+    if form == "l2":
+        csq = (blk * blk).sum(-1).reshape(QT, E * M0) * (sc * sc)
+        out_ref[:] = jnp.sqrt(jnp.maximum(qsn_ref[:] - 2.0 * ip + csq, 0.0))
+    elif form == "dot":
+        out_ref[:] = 1.0 - ip
+    else:  # cosine over pre-normalized blocks: only the query norm remains
+        out_ref[:] = 1.0 - ip / jnp.maximum(qsn_ref[:], 1e-20)
+
+
+@partial(jax.jit, static_argnames=("E", "form", "qt"))
+def pallas_fused_codec_scores(src, q, qsn, scale, blocks3, E: int,
+                              form: str = "l2", qt: int = 8):
+    """Scores [B, E*M0] straight from (expanded-node ids, HBM codec table).
+
+    Args:
+      src: [B, E] int32 — expanded node ids (clipped to valid rows).
+      q: [B, d] f32 queries.
+      qsn: [B, 1] f32 — |q|^2 for "l2", |q| for "cosine" (see
+        pallas_codec_scores); ignored for "dot".
+      scale: [] f32 dequantization multiplier.
+      blocks3: [cap1, M0, d] int8 — the codec table, UNgathered (stays in HBM).
+      E: expanded nodes per query (static).
+    """
+    B = q.shape[0]
+    M0, d = blocks3.shape[1], blocks3.shape[2]
+    RE = qt * E
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B // qt,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i, s: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((qt, d), lambda i, s: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((qt, 1), lambda i, s: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((qt, E * M0), lambda i, s: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, RE, M0, d), jnp.int8),
+            pltpu.SemaphoreType.DMA((2, RE)),
+        ],
+    )
+    return pl.pallas_call(
+        partial(_fused_kernel, E=E, M0=M0, d=d, QT=qt, form=form),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, E * M0), jnp.float32),
+    )(src.reshape(-1), scale.reshape(1, 1), q.astype(jnp.float32), qsn, blocks3)

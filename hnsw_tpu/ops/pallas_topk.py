@@ -64,12 +64,22 @@ def _tile_kernel(q_ref, xsq_ref, x_ref, outd_ref, outi_ref, *, G: int, TN: int):
                                    i * TN + am2 * G + col], axis=1)
 
 
-@partial(jax.jit, static_argnames=("k", "tn", "group", "interpret"))
+@partial(jax.jit, static_argnames=("k", "tn", "group", "interpret", "refine"))
 def pallas_l2_topk(q, X, xsq, k: int, tn: int = 4096, group: int = 32,
-                   interpret: bool = False):
-    """Exact-ish L2 top-k: returns (dists [B,k], ids [B,k]) sorted ascending.
+                   interpret: bool = False, refine: bool = True):
+    """Exact L2 top-k: returns (dists [B,k], ids [B,k]) sorted ascending.
     ``X`` must be padded to a multiple of ``tn`` rows with +inf sqnorm padding rows
-    (use :func:`pad_corpus`)."""
+    (use :func:`pad_corpus`).
+
+    ``refine=True`` (default): overfetch the first-stage reduce and re-score the
+    finalists with the DIRECT |q-x|^2 form before the final cut. The scan's
+    norm-trick distances carry ~1e-7 relative f32 error, which at 1M points
+    flips ranks 10<->11+ for ~0.5% of true neighbors (measured: recall 0.9947
+    unrefined vs 1.0000 refined on 1M x 128). Costs ~1/3 of the scan; set
+    False for the fast approximate mode when ~0.995 recall is acceptable.
+    The overfetch width rounds to a multiple of 32: `lax.top_k` on this stack
+    has catastrophic (B, k)-dependent performance cliffs at some odd widths
+    (measured: k'=26 at B=1024 runs 1.9 s vs 49 ms at k'=32 — same input)."""
     B, d = q.shape
     N = X.shape[0]
     assert N % tn == 0, "pad X to a multiple of tn"
@@ -104,11 +114,29 @@ def pallas_l2_topk(q, X, xsq, k: int, tn: int = 4096, group: int = 32,
     )(qf, xsq.reshape(n_tiles, 1, tn), X.astype(jnp.float32))
     cd = jnp.moveaxis(outd, 0, 1).reshape(B, -1)  # [B, tiles*2G]
     ci = jnp.moveaxis(outi, 0, 1).reshape(B, -1)
-    neg, pos = jax.lax.top_k(-cd, k)
-    ids = jnp.take_along_axis(ci, pos, axis=1)
+    # The barrier forces the [tiles,B,2G] -> [B,tiles*2G] transpose to
+    # MATERIALIZE before the top_k. Without it XLA fuses the transpose into the
+    # sort's operand reads and the final reduce degrades catastrophically
+    # (measured on v5e at 1M x 128, B=512: 1.3 s vs 21 ms for the whole scan —
+    # a 60x cliff on the identical computation).
+    cd, ci = jax.lax.optimization_barrier((cd, ci))
     qsq = (qf * qf).sum(-1, keepdims=True)
-    dd = jnp.sqrt(jnp.maximum(-neg + qsq, 0.0))
-    return dd, ids
+    if not refine:
+        neg, pos = jax.lax.top_k(-cd, k)
+        ids = jnp.take_along_axis(ci, pos, axis=1)
+        return jnp.sqrt(jnp.maximum(-neg + qsq, 0.0)), ids
+    kk = min(max(32, _round_up(k + 8, 32)), cd.shape[1])
+    neg, pos = jax.lax.top_k(-cd, kk)
+    ids = jnp.take_along_axis(ci, pos, axis=1)
+    xv = X[ids].astype(jnp.float32)  # [B, kk, d] — finalists only
+    diff = xv - qf[:, None, :]
+    d2 = (diff * diff).sum(-1)
+    # padding rows are zero vectors with a faked 3e38 sqnorm: their direct-form
+    # distance would look small, so re-mask them by their first-stage score
+    d2 = jnp.where(-neg >= jnp.float32(1e37), jnp.inf, d2)
+    neg2, pos2 = jax.lax.top_k(-d2, k)
+    out_ids = jnp.take_along_axis(ids, pos2, axis=1)
+    return jnp.sqrt(jnp.maximum(-neg2, 0.0)), out_ids
 
 
 def pad_corpus(X: np.ndarray, tn: int = 4096):

@@ -295,7 +295,7 @@ class ShardedHnsw:
     def device_codec_arrays(self):
         """Per-shard blocked traversal codec, built ON-DEVICE by one jitted
         shard_map program (quantize + neighborhood gather run per shard, in
-        parallel, over the mesh). Returns (blocks [D,cap1,M0*d], blocks_sq
+        parallel, over the mesh). Returns (blocks [D,cap1,M0,d], blocks_sq
         [D,cap1,M0], scale [D,1], M0, dim) or None — the mesh analog of
         ``Hnsw.device_codec`` so sharded serving runs the same int8 fast path
         as the single-chip engine."""
@@ -438,7 +438,8 @@ def _sharded_codec_build_fn(mesh, axis, metric, kind):
             scale = (amax / 127.0).astype(jnp.float32)
             qi = vq.astype(jnp.int32)
             qsq = (qi * qi).sum(-1).astype(jnp.float32) * (scale * scale)
-        blocks = vq[safe].reshape(cap1, M0 * d)
+        del M0, d
+        blocks = vq[safe]  # [cap1, M0, d] — 3-D like BeamCodec.blocks
         return blocks[None], qsq[safe][None], scale.reshape(1, 1)
 
     sm = shard_map(body, mesh, in_specs=(P(axis), P(axis)),
