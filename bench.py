@@ -153,11 +153,21 @@ def main():
     TN = pick_tn(d)
     Xp, xsqp = pad_corpus(X, tn=TN)
     Xpd, xsqd = jnp.asarray(Xp), jnp.asarray(xsqp)
+    # bf16 streaming stage + f32 refine (BruteForceIndex defaults): the MXU
+    # runs the scan matmul at its native bf16 rate; finalists re-score in f32
+    # direct form, recall gated by the fp64 scorer below as always.
+    Xscan = Xpd.astype(jnp.bfloat16)
     QB_BF = 1024  # v5e sweet spot: amortizes the corpus stream over 2x queries
     # (B=2048 overflows VMEM at tn=2048); measured 31.7k QPS at 1M x 128
     Qbf = jnp.asarray(Q[:QB_BF])
-    dd_bf, ids_bf = pallas_l2_topk(Qbf, Xpd, xsqd, k, tn=TN, group=TN // 128)
+    dd_bf, ids_bf = pallas_l2_topk(Qbf, Xpd, xsqd, k, tn=TN, group=TN // 128,
+                                   Xscan=Xscan, overfetch=8)
     np.array(ids_bf)
+
+    def bf_once():
+        _, ids = pallas_l2_topk(Qbf, Xpd, xsqd, k, tn=TN, group=TN // 128,
+                                Xscan=Xscan, overfetch=8)
+        np.array(ids)  # axon's block_until_ready is a no-op; a fetch forces completion
 
     def median_blocks(run_once, qcount, blocks=BLOCKS, min_block_s=2.0):
         """Median QPS over >=blocks timed blocks of >=min_block_s each, plus the
@@ -175,10 +185,6 @@ def main():
         med = float(np.median(samples))
         spread = float((max(samples) - min(samples)) / med)
         return med, spread
-
-    def bf_once():
-        _, ids = pallas_l2_topk(Qbf, Xpd, xsqd, k, tn=TN, group=TN // 128)
-        np.array(ids)  # axon's block_until_ready is a no-op; a fetch forces completion
 
     bf_qps, bf_spread = median_blocks(bf_once, QB_BF)
 
@@ -206,7 +212,7 @@ def main():
 
     bf_recall = recall_fp64(np.array(ids_bf), QB_BF)
     log(f"[bench] pallas exact scan: {bf_qps:.0f} QPS, recall {bf_recall:.4f}")
-    del Xpd, xsqd
+    del Xpd, xsqd, Xscan
 
     backend = os.environ.get("BENCH_BUILD", "device")
     t0 = time.time()

@@ -41,6 +41,20 @@ class BruteForceIndex:
     # interpreter is test-only).
     PALLAS_MIN_POINTS = 32_768
 
+    # Streaming-stage precision for the Pallas scan. "bfloat16" runs the
+    # per-tile matmul with bf16 inputs / f32 accumulation (the MXU's native
+    # rate, ~8x the f32 issue rate, and half the HBM stream) and keeps a
+    # separate bf16 corpus copy on device; the refine stage always re-scores
+    # finalists against the f32 corpus in the direct |q-x|^2 form, so the
+    # returned distances stay exact. SCAN_OVERFETCH widens the first-stage
+    # keep (k + overfetch, rounded to 32) so bf16 rank noise near the cut
+    # cannot drop a true neighbor before the refine sees it. Measured at
+    # 1M x 128 on v5e: of=8 and of=24 both score fp64 recall 1.0000, and
+    # of=24 widens the top_k past 32 which costs ~20% QPS (17.6k vs 14.1k)
+    # — so 8 is the default.
+    SCAN_DTYPE: Optional[str] = "bfloat16"
+    SCAN_OVERFETCH = 8
+
     def __init__(self, dist="L2", dtype=np.float32):
         self.metric = get_metric(dist)
         self.dtype = np.dtype(dtype)
@@ -88,7 +102,9 @@ class BruteForceIndex:
             from ..ops.pallas_topk import pad_corpus, pick_tn
             tn = pick_tn(self._X.shape[1])
             Xp, xsq = pad_corpus(self._X.astype(np.float32), tn=tn)
-            self._dev_pallas = (jnp.asarray(Xp), jnp.asarray(xsq), tn)
+            Xd = jnp.asarray(Xp)
+            Xscan = None if self.SCAN_DTYPE is None else Xd.astype(self.SCAN_DTYPE)
+            self._dev_pallas = (Xd, jnp.asarray(xsq), tn, Xscan)
         return self._dev_pallas
 
     def search_batch(self, queries, knbn: int, ef: int = 0, filter=None):
@@ -100,7 +116,7 @@ class BruteForceIndex:
         k = min(knbn, len(self._X))
         if self._use_pallas():
             from ..ops.pallas_topk import pallas_l2_topk
-            Xd, xsq, tn = self._pallas_device()
+            Xd, xsq, tn, Xscan = self._pallas_device()
             # a filter post-masks the fetched candidates: overfetch so the
             # filtered answer still holds k survivors at moderate selectivity
             kf = k if filter is None else min(len(self._X),
@@ -110,7 +126,8 @@ class BruteForceIndex:
             for s in range(0, len(q), CHUNK):
                 qc = q[s:s + CHUNK]
                 dd, ii = pallas_l2_topk(jnp.asarray(qc), Xd, xsq, kf, tn=tn,
-                                        group=tn // 128)
+                                        group=tn // 128, Xscan=Xscan,
+                                        overfetch=self.SCAN_OVERFETCH)
                 d_parts.append(np.array(dd))
                 i_parts.append(np.array(ii))
             d = np.concatenate(d_parts)[:, :kf]

@@ -64,9 +64,11 @@ def _tile_kernel(q_ref, xsq_ref, x_ref, outd_ref, outi_ref, *, G: int, TN: int):
                                    i * TN + am2 * G + col], axis=1)
 
 
-@partial(jax.jit, static_argnames=("k", "tn", "group", "interpret", "refine"))
+@partial(jax.jit, static_argnames=("k", "tn", "group", "interpret", "refine",
+                                   "overfetch"))
 def pallas_l2_topk(q, X, xsq, k: int, tn: int = 4096, group: int = 32,
-                   interpret: bool = False, refine: bool = True):
+                   interpret: bool = False, refine: bool = True,
+                   Xscan=None, overfetch: int = 8):
     """Exact L2 top-k: returns (dists [B,k], ids [B,k]) sorted ascending.
     ``X`` must be padded to a multiple of ``tn`` rows with +inf sqnorm padding rows
     (use :func:`pad_corpus`).
@@ -79,13 +81,23 @@ def pallas_l2_topk(q, X, xsq, k: int, tn: int = 4096, group: int = 32,
     False for the fast approximate mode when ~0.995 recall is acceptable.
     The overfetch width rounds to a multiple of 32: `lax.top_k` on this stack
     has catastrophic (B, k)-dependent performance cliffs at some odd widths
-    (measured: k'=26 at B=1024 runs 1.9 s vs 49 ms at k'=32 — same input)."""
+    (measured: k'=26 at B=1024 runs 1.9 s vs 49 ms at k'=32 — same input).
+
+    ``Xscan``: optional reduced-precision copy of ``X`` (same padded shape,
+    e.g. bfloat16) used ONLY for the streaming matmul stage — the MXU runs
+    bf16 inputs at ~8x the f32 rate and the X tile stream halves its HBM
+    traffic. The refine stage still gathers finalists from the full-precision
+    ``X``, so exactness is preserved as long as the first stage does not MISS
+    a true neighbor; widen ``overfetch`` (first-stage keep = k + overfetch,
+    rounded up to a multiple of 32) to absorb bf16 rank noise near the cut."""
     B, d = q.shape
     N = X.shape[0]
     assert N % tn == 0, "pad X to a multiple of tn"
     G = tn // group
     n_tiles = N // tn
     qf = q.astype(jnp.float32)
+    Xs = X.astype(jnp.float32) if Xscan is None else Xscan
+    qs = qf.astype(Xs.dtype)
     outd, outi = pl.pallas_call(
         partial(_tile_kernel, G=G, TN=tn),
         grid=(n_tiles,),
@@ -108,10 +120,11 @@ def pallas_l2_topk(q, X, xsq, k: int, tn: int = 4096, group: int = 32,
             jax.ShapeDtypeStruct((n_tiles, B, 2 * G), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * N * d, bytes_accessed=N * d * 4 + B * d * 4,
+            flops=2 * B * N * d,
+            bytes_accessed=N * d * Xs.dtype.itemsize + B * d * 4,
             transcendentals=0),
         interpret=interpret,  # CPU tests run the kernel interpreted
-    )(qf, xsq.reshape(n_tiles, 1, tn), X.astype(jnp.float32))
+    )(qs, xsq.reshape(n_tiles, 1, tn), Xs)
     cd = jnp.moveaxis(outd, 0, 1).reshape(B, -1)  # [B, tiles*2G]
     ci = jnp.moveaxis(outi, 0, 1).reshape(B, -1)
     # The barrier forces the [tiles,B,2G] -> [B,tiles*2G] transpose to
@@ -125,7 +138,7 @@ def pallas_l2_topk(q, X, xsq, k: int, tn: int = 4096, group: int = 32,
         neg, pos = jax.lax.top_k(-cd, k)
         ids = jnp.take_along_axis(ci, pos, axis=1)
         return jnp.sqrt(jnp.maximum(-neg + qsq, 0.0)), ids
-    kk = min(max(32, _round_up(k + 8, 32)), cd.shape[1])
+    kk = min(max(32, _round_up(k + overfetch, 32)), cd.shape[1])
     neg, pos = jax.lax.top_k(-cd, kk)
     ids = jnp.take_along_axis(ci, pos, axis=1)
     xv = X[ids].astype(jnp.float32)  # [B, kk, d] — finalists only

@@ -63,6 +63,32 @@ def test_pallas_topk_interpret(rng):
     assert hits >= B * k - 2, hits
 
 
+def test_pallas_topk_bf16_scan_refine(rng):
+    """bf16 streaming stage + f32 refine (the BruteForceIndex default): the
+    reduced-precision first stage must not MISS true neighbors (overfetch
+    absorbs bf16 rank noise near the cut), and returned distances must be the
+    exact f32 direct-form values because the refine re-scores finalists
+    against the full-precision corpus."""
+    from hnsw_tpu.ops.pallas_topk import pallas_l2_topk, pad_corpus
+    n, d, B, k = 2000, 64, 8, 10
+    X = rng.standard_normal((n, d)).astype(np.float32)
+    Q = rng.standard_normal((B, d)).astype(np.float32)
+    Xp, xsq = pad_corpus(X, tn=256)
+    Xscan = jnp.asarray(Xp).astype(jnp.bfloat16)
+    dd, ids = pallas_l2_topk(jnp.asarray(Q), jnp.asarray(Xp), jnp.asarray(xsq),
+                             k, tn=256, group=8, interpret=True,
+                             Xscan=Xscan, overfetch=24)
+    dd, ids = np.array(dd), np.array(ids)
+    d2 = ((Q[:, None, :].astype(np.float64) - X[None]) ** 2).sum(-1)
+    hits = 0
+    for b in range(B):
+        want = set(np.argsort(d2[b], kind="stable")[:k].tolist())
+        hits += len(want & set(int(i) for i in ids[b]))
+        np.testing.assert_allclose(
+            dd[b], np.sqrt(np.sort(d2[b])[:k]), rtol=1e-4, atol=1e-4)
+    assert hits == B * k, hits
+
+
 def test_pallas_topk_small_tiles_and_pick_tn(rng):
     """tn=512/group=4 (the d>512 configuration — large-d VMEM fit) matches brute
     force in interpret mode; pick_tn scales tiles down as d grows."""
