@@ -112,7 +112,12 @@ def main():
     efc = int(os.environ.get("BENCH_EFC", 400))
     scale = float(os.environ.get("BENCH_SCALE", 0.5))
     BB = int(os.environ.get("BENCH_BATCH", 4096))
-    QB = int(os.environ.get("BENCH_QBATCH", 8192))
+    # Query batch: the beam iteration is a latency floor (5.4 ms, measured
+    # batch-size-independent at B=4096..8192), so QPS scales with B until the
+    # iteration finally grows. Measured at 1M x 128 (ef=64/80/96): B=16384 runs
+    # 1.05-1.32x the QPS of B=8192 (59.8k vs 49.2k at ef=64). Still
+    # HBM-workspace-safe with the 1M codec resident.
+    QB = int(os.environ.get("BENCH_QBATCH", 16384))
     EXPAND = int(os.environ.get("BENCH_EXPAND", 4))
     BLOCKS = int(os.environ.get("BENCH_BLOCKS", 9))
     QDTYPE = os.environ.get("BENCH_QDTYPE", "f16")
