@@ -255,7 +255,7 @@ def main():
                                   max(RECALL_FLOOR + 0.005, 0.985)))
     chosen_ef, chosen_recall = None, 0.0
     floor_ef, floor_recall = None, 0.0
-    for ef in (16, 24, 32, 48, 64, 72, 80, 96, 128, 192, 256, 384, 512):
+    for ef in (16, 24, 32, 48, 64, 72, 80, 88, 96, 128, 192, 256, 384, 512):
         ids, dists = run_stream(ef)
         r = recall_of(ids)
         log(f"[bench] ef={ef}: recall@{k}={r:.4f}")

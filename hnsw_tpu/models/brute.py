@@ -121,13 +121,25 @@ class BruteForceIndex:
             # filtered answer still holds k survivors at moderate selectivity
             kf = k if filter is None else min(len(self._X),
                                               ((4 * k + 63) // 32) * 32)
-            CHUNK = 1024  # VMEM bound per kernel call; chunk larger streams
+            # In-kernel tile accumulation (running min1/min2 per lane-group
+            # across `acc` consecutive tiles): shrinks the cross-tile HBM
+            # candidate buffer — the scan's dominant traffic at 1M — by acc.
+            # Target ~16 output blocks regardless of N: keeps the final top_k
+            # width ~4k lanes (measured cliff: 15872-wide runs 2x slower than
+            # 4096-wide on v5e) while the candidate pool stays wide enough
+            # that a true-top-k miss needs >=3 ids in one of ~2048 (block,
+            # lane) cells — P ~ 3e-5 per query, absorbed by overfetch+refine.
+            n_tiles = -(-Xd.shape[0] // tn)
+            acc = max(1, -(-n_tiles // 16))
+            # the packed kernel's single int32 output halves VMEM: B=2048
+            # fits at tn=2048 (B=1024 was the unpacked kernel's ceiling)
+            CHUNK = 2048
             d_parts, i_parts = [], []
             for s in range(0, len(q), CHUNK):
                 qc = q[s:s + CHUNK]
                 dd, ii = pallas_l2_topk(jnp.asarray(qc), Xd, xsq, kf, tn=tn,
                                         group=tn // 128, Xscan=Xscan,
-                                        overfetch=self.SCAN_OVERFETCH)
+                                        overfetch=self.SCAN_OVERFETCH, acc=acc)
                 d_parts.append(np.array(dd))
                 i_parts.append(np.array(ii))
             d = np.concatenate(d_parts)[:, :kf]

@@ -35,7 +35,8 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
-def _tile_kernel(q_ref, xsq_ref, x_ref, outd_ref, outi_ref, *, G: int, TN: int):
+def _tile_kernel(q_ref, xsq_ref, x_ref, outd_ref, outi_ref, *, G: int, TN: int,
+                 A: int):
     i = pl.program_id(0)
     q = q_ref[:]  # [B, d]
     x = x_ref[:]  # [TN, d]
@@ -59,16 +60,109 @@ def _tile_kernel(q_ref, xsq_ref, x_ref, outd_ref, outi_ref, *, G: int, TN: int):
     am2 = jnp.minimum(am2, S - 1)  # all-inf group (padding): clamp
     # element (s, g) sits at tile column s*G + g
     col = jax.lax.broadcasted_iota(jnp.int32, (B, G), 1)
-    outd_ref[0] = jnp.concatenate([m1, m2], axis=1)  # [B, 2G]
-    outi_ref[0] = jnp.concatenate([i * TN + am1 * G + col,
-                                   i * TN + am2 * G + col], axis=1)
+    i1 = i * TN + am1 * G + col
+    i2 = i * TN + am2 * G + col
+
+    # A consecutive tiles accumulate into ONE output block (the block stays
+    # VMEM-resident across the A grid steps): the cross-tile candidate buffer —
+    # which at A=1 dominates the whole scan's HBM traffic (1M x 128, B=1024:
+    # [489, B, 2G] f32+i32 = 1 GB written then re-read by the final top_k,
+    # 4x the bf16 corpus stream itself) — shrinks by A, and the final top_k
+    # narrows from tiles*2G to (tiles/A)*2G lanes.
+    if A == 1:
+        outd_ref[0] = jnp.concatenate([m1, m2], axis=1)  # [B, 2G]
+        outi_ref[0] = jnp.concatenate([i1, i2], axis=1)
+        return
+
+    # sliced stores (the :G / G: split sits on a 128-lane boundary) — the
+    # concatenate form doubled VMEM temporaries and blew the 16 MB scoped
+    # budget at B=1024 (measured 21 MB)
+    @pl.when(i % A == 0)
+    def _init():
+        outd_ref[0, :, :G] = m1
+        outd_ref[0, :, G:] = m2
+        outi_ref[0, :, :G] = i1
+        outi_ref[0, :, G:] = i2
+
+    @pl.when(i % A != 0)
+    def _merge():
+        # running (min1, min2) per lane-group merged with this tile's pair:
+        # the two smallest of {a1, a2, b1, b2} given a1<=a2, b1<=b2
+        a1 = outd_ref[0, :, :G]
+        a2 = outd_ref[0, :, G:]
+        ia1 = outi_ref[0, :, :G]
+        ia2 = outi_ref[0, :, G:]
+        swap = m1 < a1
+        outd_ref[0, :, :G] = jnp.where(swap, m1, a1)
+        outi_ref[0, :, :G] = jnp.where(swap, i1, ia1)
+        hi = jnp.where(swap, a1, m1)        # the loser of the min1 round
+        lo2 = jnp.where(swap, m2, a2)       # the winner side's second
+        outd_ref[0, :, G:] = jnp.minimum(hi, lo2)
+        outi_ref[0, :, G:] = jnp.where(hi <= lo2,
+                                       jnp.where(swap, ia1, i1),
+                                       jnp.where(swap, i2, ia2))
+
+
+def _tile_kernel_packed(q_ref, xsq_ref, x_ref, out_ref, *,
+                        G: int, TN: int, A: int, LB: int):
+    """Index-in-mantissa variant: the candidate's local row offset rides in the
+    low ``LB`` bits of the f32 distance's bit pattern, so plain int32 min
+    reductions carry identity for free — no argmin-recovery ``where`` chains,
+    no separate index output array (the A=1 kernel's other half of the
+    candidate HBM traffic). Non-negative f32s order identically under int32
+    compare (qsq is added HERE, unlike the unpacked kernel, to guarantee the
+    sign bit stays clear); clearing LB mantissa bits rounds each distance down
+    by <= 2^-(23-LB) relative (~1.5e-5 at LB=7) — absorbed by the overfetch +
+    exact-refine stage, same contract as the bf16 streaming stage."""
+    i = pl.program_id(0)
+    q = q_ref[:]  # [B, d]
+    x = x_ref[:]  # [TN, d]
+    g = jax.lax.dot_general(q, x, dimension_numbers=(((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # [B, TN]
+    # qsq computed in-kernel (one cheap [B, d] pass) rather than shipped as an
+    # awkward [B, 1] block; a bf16 q only shifts each QUERY's distances by one
+    # per-query constant, which cannot reorder that query's candidates
+    qf = q.astype(jnp.float32)
+    qsq = jnp.sum(qf * qf, axis=1, keepdims=True)  # [B, 1]
+    d2 = jnp.maximum(xsq_ref[0] + qsq - 2.0 * g, 0.0)  # [B, TN] >= 0
+    B = d2.shape[0]
+    S = TN // G
+    a = d2.reshape(B, S, G)
+    ai = jax.lax.bitcast_convert_type(a, jnp.int32)
+    loc = jax.lax.broadcasted_iota(jnp.int32, (B, S, G), 1) + (i % A) * S
+    ai = (ai & jnp.int32(~((1 << LB) - 1))) | loc
+    m1 = jnp.min(ai, axis=1)  # [B, G]
+    masked = jnp.where(ai == m1[:, None, :], jnp.int32(0x7FFFFFFF), ai)
+    m2 = jnp.min(masked, axis=1)
+
+    if A == 1:
+        out_ref[0, :, :G] = m1
+        out_ref[0, :, G:] = m2
+        return
+
+    @pl.when(i % A == 0)
+    def _init():
+        out_ref[0, :, :G] = m1
+        out_ref[0, :, G:] = m2
+
+    @pl.when(i % A != 0)
+    def _merge():
+        # two smallest of {a1, a2, m1, m2} given a1<=a2, m1<=m2 — on the packed
+        # ints directly, so identity merges along with the values
+        a1 = out_ref[0, :, :G]
+        a2 = out_ref[0, :, G:]
+        swap = m1 < a1
+        out_ref[0, :, :G] = jnp.where(swap, m1, a1)
+        out_ref[0, :, G:] = jnp.minimum(jnp.where(swap, a1, m1),
+                                        jnp.where(swap, m2, a2))
 
 
 @partial(jax.jit, static_argnames=("k", "tn", "group", "interpret", "refine",
-                                   "overfetch"))
+                                   "overfetch", "acc", "packed"))
 def pallas_l2_topk(q, X, xsq, k: int, tn: int = 4096, group: int = 32,
                    interpret: bool = False, refine: bool = True,
-                   Xscan=None, overfetch: int = 8):
+                   Xscan=None, overfetch: int = 8, acc: int = 8,
+                   packed: bool = True):
     """Exact L2 top-k: returns (dists [B,k], ids [B,k]) sorted ascending.
     ``X`` must be padded to a multiple of ``tn`` rows with +inf sqnorm padding rows
     (use :func:`pad_corpus`).
@@ -83,6 +177,15 @@ def pallas_l2_topk(q, X, xsq, k: int, tn: int = 4096, group: int = 32,
     has catastrophic (B, k)-dependent performance cliffs at some odd widths
     (measured: k'=26 at B=1024 runs 1.9 s vs 49 ms at k'=32 — same input).
 
+    ``acc``: consecutive tiles accumulated into one output block inside the
+    kernel (running min1/min2 merge per lane-group, VMEM-resident). The
+    cross-tile candidate buffer and the final top_k width both shrink by
+    ``acc``; at 1M x 128 / B=1024 / acc=1 that buffer is ~1 GB of HBM
+    round-trip — 4x the bf16 corpus stream — so this is the scan's dominant
+    knob. Recall cost is negligible: a miss needs >= 3 true top-k ids
+    congruent mod G inside one acc*tn-row span (P ~ C(k,3)/(n_blocks*G)^2,
+    ~1e-5 per query at acc=8, 1M points, k=10).
+
     ``Xscan``: optional reduced-precision copy of ``X`` (same padded shape,
     e.g. bfloat16) used ONLY for the streaming matmul stage — the MXU runs
     bf16 inputs at ~8x the f32 rate and the X tile stream halves its HBM
@@ -95,11 +198,66 @@ def pallas_l2_topk(q, X, xsq, k: int, tn: int = 4096, group: int = 32,
     assert N % tn == 0, "pad X to a multiple of tn"
     G = tn // group
     n_tiles = N // tn
+    acc = max(1, min(acc, n_tiles))
+    n_blocks = (n_tiles + acc - 1) // acc
     qf = q.astype(jnp.float32)
     Xs = X.astype(jnp.float32) if Xscan is None else Xscan
     qs = qf.astype(Xs.dtype)
+    if packed:
+        # index-in-mantissa kernel: ONE int32 output, ~half the VPU passes
+        LB = max(1, (group * acc - 1).bit_length())
+        out = pl.pallas_call(
+            partial(_tile_kernel_packed, G=G, TN=tn, A=acc, LB=LB),
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec((B, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, tn), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tn, d), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, B, 2 * G), lambda i: (i // acc, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[jax.ShapeDtypeStruct((n_blocks, B, 2 * G), jnp.int32)],
+            cost_estimate=pl.CostEstimate(
+                flops=2 * B * N * d,
+                bytes_accessed=N * d * Xs.dtype.itemsize + B * d * 4,
+                transcendentals=0),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+                vmem_limit_bytes=64 * 1024 * 1024),
+            interpret=interpret,
+        )(qs, xsq.reshape(n_tiles, 1, tn), Xs)[0]
+        cv = jnp.moveaxis(out, 0, 1).reshape(B, -1)  # [B, blocks*2G] packed
+        cv = jax.lax.optimization_barrier(cv)  # see the unpacked path's note
+
+        def decode(vals, cols):
+            """packed int32 + column position -> (d2-with-qsq f32, global id)"""
+            dval = jax.lax.bitcast_convert_type(
+                vals & jnp.int32(~((1 << LB) - 1)), jnp.float32)
+            loc = vals & jnp.int32((1 << LB) - 1)
+            block = cols // (2 * G)
+            lane = (cols % (2 * G)) % G
+            ids = (block * acc + loc // group) * tn + (loc % group) * G + lane
+            return dval, jnp.minimum(ids, N - 1)
+
+        kk = k if not refine else min(max(32, _round_up(k + overfetch, 32)),
+                                      cv.shape[1])
+        neg, pos = jax.lax.top_k(-cv, kk)
+        dval, ids = decode(-neg, pos)
+        if not refine:
+            return jnp.sqrt(jnp.maximum(dval, 0.0)), ids
+        xv = X[ids].astype(jnp.float32)  # [B, kk, d] — finalists only
+        diff = xv - qf[:, None, :]
+        d2 = (diff * diff).sum(-1)
+        d2 = jnp.where(dval >= jnp.float32(1e37), jnp.inf, d2)  # padding rows
+        neg2, pos2 = jax.lax.top_k(-d2, k)
+        out_ids = jnp.take_along_axis(ids, pos2, axis=1)
+        return jnp.sqrt(jnp.maximum(-neg2, 0.0)), out_ids
     outd, outi = pl.pallas_call(
-        partial(_tile_kernel, G=G, TN=tn),
+        partial(_tile_kernel, G=G, TN=tn, A=acc),
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((B, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -112,17 +270,26 @@ def pallas_l2_topk(q, X, xsq, k: int, tn: int = 4096, group: int = 32,
             pl.BlockSpec((tn, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, B, 2 * G), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, 2 * G), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, 2 * G), lambda i: (i // acc, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, 2 * G), lambda i: (i // acc, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_tiles, B, 2 * G), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, B, 2 * G), jnp.int32),
+            jax.ShapeDtypeStruct((n_blocks, B, 2 * G), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks, B, 2 * G), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * B * N * d,
             bytes_accessed=N * d * Xs.dtype.itemsize + B * d * 4,
             transcendentals=0),
+        # the accumulating kernel's read-modify-write of the output block plus
+        # the [B, S, G] reduce chain exceeds the compiler's DEFAULT 16 MB
+        # scoped-vmem cap at B=1024/tn=2048 (measured 17-21 MB); v5e physically
+        # carries far more VMEM, so raise the cap rather than shrink the tile
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,  # CPU tests run the kernel interpreted
     )(qs, xsq.reshape(n_tiles, 1, tn), Xs)
     cd = jnp.moveaxis(outd, 0, 1).reshape(B, -1)  # [B, tiles*2G]

@@ -47,7 +47,7 @@ def test_pallas_topk_interpret(rng):
     Q = rng.standard_normal((B, d)).astype(np.float32)
     Xp, xsq = pad_corpus(X, tn=256)
     dd, ids = pallas_l2_topk(jnp.asarray(Q), jnp.asarray(Xp), jnp.asarray(xsq),
-                             k, tn=256, group=8, interpret=True)
+                             k, tn=256, group=8, interpret=True, acc=1)
     dd, ids = np.array(dd), np.array(ids)
     truth = get_metric("L2").brute_force(Q, X)
     hits = 0
@@ -87,6 +87,43 @@ def test_pallas_topk_bf16_scan_refine(rng):
         np.testing.assert_allclose(
             dd[b], np.sqrt(np.sort(d2[b])[:k]), rtol=1e-4, atol=1e-4)
     assert hits == B * k, hits
+
+
+def test_pallas_topk_acc_blocks(rng):
+    """acc>1 (in-kernel running min1/min2 merge across consecutive tiles):
+    multiple output blocks with an UNEVEN tail (n_tiles % acc != 0) must agree
+    with the unaccumulated kernel and with brute force."""
+    from hnsw_tpu.ops.pallas_topk import pallas_l2_topk, pad_corpus
+    n, d, B, k = 1700, 32, 8, 10
+    X = rng.standard_normal((n, d)).astype(np.float32)
+    Q = rng.standard_normal((B, d)).astype(np.float32)
+    Xp, xsq = pad_corpus(X, tn=256)  # 1792 rows -> 7 tiles; acc=3 -> blocks 3+3+1
+    args = (jnp.asarray(Q), jnp.asarray(Xp), jnp.asarray(xsq), k)
+    kw = dict(tn=256, group=8, interpret=True)
+    d1, i1 = pallas_l2_topk(*args, acc=1, **kw)
+    d3, i3 = pallas_l2_topk(*args, acc=3, **kw)
+    d2 = ((Q[:, None, :].astype(np.float64) - X[None]) ** 2).sum(-1)
+    for b in range(B):
+        want = set(np.argsort(d2[b], kind="stable")[:k].tolist())
+        assert set(int(i) for i in np.array(i3)[b]) == want
+    np.testing.assert_allclose(np.array(d3), np.array(d1), rtol=1e-5)
+
+
+def test_pallas_topk_unpacked_matches_packed(rng):
+    """packed=False (separate f32/int32 outputs, argmin-recovery chains) is the
+    fallback when the index-in-mantissa trick can't apply; it must return the
+    same ids/distances as the packed default, including with acc>1."""
+    from hnsw_tpu.ops.pallas_topk import pallas_l2_topk, pad_corpus
+    n, d, B, k = 1500, 32, 8, 10
+    X = rng.standard_normal((n, d)).astype(np.float32)
+    Q = rng.standard_normal((B, d)).astype(np.float32)
+    Xp, xsq = pad_corpus(X, tn=256)
+    args = (jnp.asarray(Q), jnp.asarray(Xp), jnp.asarray(xsq), k)
+    kw = dict(tn=256, group=8, interpret=True, acc=3)
+    dp, ip = pallas_l2_topk(*args, packed=True, **kw)
+    du, iu = pallas_l2_topk(*args, packed=False, **kw)
+    np.testing.assert_array_equal(np.array(ip), np.array(iu))
+    np.testing.assert_allclose(np.array(dp), np.array(du), rtol=1e-5)
 
 
 def test_pallas_topk_small_tiles_and_pick_tn(rng):
