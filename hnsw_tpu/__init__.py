@@ -8,6 +8,7 @@ per Malkov & Yashunin 2016/2018). The reference's prelude re-exports (reference
 from .models.hnsw import Hnsw, Neighbour, NB_LAYER_MAX
 from .models.flatten import FlatPoint, FlatNeighborhood
 from .models.brute import BruteForceIndex
+from .models.auto import AutoIndex
 from .ops.distances import DISTANCES, Metric, UserMetric, get_metric, l2_normalize
 from .filter import FilterT, SortedIdFilter, CallableFilter
 from .api import AnnT
@@ -22,7 +23,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "Hnsw", "Neighbour", "NB_LAYER_MAX", "FlatPoint", "FlatNeighborhood",
-    "BruteForceIndex", "NativeHnsw", "ShardedHnsw",
+    "BruteForceIndex", "AutoIndex", "NativeHnsw", "ShardedHnsw",
     "DISTANCES", "Metric", "UserMetric", "get_metric", "l2_normalize",
     "FilterT", "SortedIdFilter", "CallableFilter", "AnnT",
     "HnswIo", "ReloadOptions", "Description", "load_description", "file_dump",

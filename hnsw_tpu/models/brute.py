@@ -115,7 +115,7 @@ class BruteForceIndex:
         q = np.atleast_2d(np.asarray(queries, np.float32))
         k = min(knbn, len(self._X))
         if self._use_pallas():
-            from ..ops.pallas_topk import pallas_l2_topk
+            from ..ops.pallas_topk import pallas_l2_topk_stream
             Xd, xsq, tn, Xscan = self._pallas_device()
             # a filter post-masks the fetched candidates: overfetch so the
             # filtered answer still holds k survivors at moderate selectivity
@@ -124,26 +124,26 @@ class BruteForceIndex:
             # In-kernel tile accumulation (running min1/min2 per lane-group
             # across `acc` consecutive tiles): shrinks the cross-tile HBM
             # candidate buffer — the scan's dominant traffic at 1M — by acc.
-            # Target ~16 output blocks regardless of N: keeps the final top_k
-            # width ~4k lanes (measured cliff: 15872-wide runs 2x slower than
-            # 4096-wide on v5e) while the candidate pool stays wide enough
-            # that a true-top-k miss needs >=3 ids in one of ~2048 (block,
-            # lane) cells — P ~ 3e-5 per query, absorbed by overfetch+refine.
+            # Target ~8 output blocks regardless of N: the [blocks, B, 2G]
+            # int32 output stays FULLY VMEM-resident (Mosaic doesn't window
+            # the revisited accumulation block — measured 64 MB stack alloc at
+            # 16 blocks x B=4096, over the cap), so blocks x B bounds B; 8
+            # blocks = 32 MB at B=4096 and a ~2k-lane final top_k (under the
+            # width cliff). Miss probability stays negligible: >=3 true top-k
+            # ids must collide in one of blocks*G ~ 1024 (block, lane) cells —
+            # P ~ 1e-4 per query, absorbed by overfetch+refine.
             n_tiles = -(-Xd.shape[0] // tn)
-            acc = max(1, -(-n_tiles // 16))
-            # the packed kernel's single int32 output halves VMEM: B=2048
-            # fits at tn=2048 (B=1024 was the unpacked kernel's ceiling)
-            CHUNK = 2048
-            d_parts, i_parts = [], []
-            for s in range(0, len(q), CHUNK):
-                qc = q[s:s + CHUNK]
-                dd, ii = pallas_l2_topk(jnp.asarray(qc), Xd, xsq, kf, tn=tn,
-                                        group=tn // 128, Xscan=Xscan,
-                                        overfetch=self.SCAN_OVERFETCH, acc=acc)
-                d_parts.append(np.array(dd))
-                i_parts.append(np.array(ii))
-            d = np.concatenate(d_parts)[:, :kf]
-            idx = np.concatenate(i_parts)[:, :kf]
+            acc = max(1, -(-n_tiles // 8))
+            # pipelined stream (uploads overlap compute); the packed kernel's
+            # single int32 output halves VMEM vs the unpacked kernel, so
+            # B=4096 fits at tn=2048 / 8 blocks (B=1024 was the unpacked
+            # kernel's ceiling) — measured 42k QPS at 1M x 128 on one v5e
+            d, idx = pallas_l2_topk_stream(
+                q, Xd, xsq, kf, tn=tn, group=tn // 128, Xscan=Xscan,
+                overfetch=self.SCAN_OVERFETCH, acc=acc,
+                batch=min(4096, max(256, len(q))))
+            d = d[:, :kf]
+            idx = idx[:, :kf]
         else:
             Xd, xsq = self._device()
             dj, ij = _bf_topk(jnp.asarray(q), Xd, xsq, k, self.metric.name)

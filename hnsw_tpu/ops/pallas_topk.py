@@ -331,6 +331,86 @@ def pad_corpus(X: np.ndarray, tn: int = 4096):
     return Xp, xsq
 
 
+def pallas_l2_topk_stream(queries: np.ndarray, X, xsq, k: int, *, tn: int,
+                          group: int, Xscan=None, overfetch: int = 8,
+                          acc: int = 8, batch: int = 4096, query_dtype=None,
+                          packed: bool = True, interpret: bool = False):
+    """Pipelined exact-scan serving over a host query stream.
+
+    Same host-side harness as ``device_search_stream``: ``jnp.asarray`` is a
+    SYNCHRONOUS host->device transfer on this stack, so a daemon thread stages
+    the next uploads while the main thread dispatches kernels and fetches
+    results — upload overlaps compute instead of serializing with it. Serving
+    throughput is whichever of {kernel rate, host link rate} binds.
+
+    ``query_dtype="f16"`` uploads queries as float16 (halves link bytes; the
+    refine stage re-scores finalists from the f16-rounded query in f32, a
+    ~0.05% perturbation that recall scoring sees honestly).
+
+    Returns (dists [nq, k] f32, ids [nq, k] int64 — local row indices).
+    """
+    q = np.asarray(queries, np.float32)
+    if q.ndim == 1:
+        q = q[None, :]
+    if query_dtype in ("f16", "float16", np.float16):
+        q = q.astype(np.float16)
+    elif query_dtype not in (None, "f32", "float32", np.float32):
+        raise ValueError(f"unsupported query_dtype {query_dtype!r}")
+    nq = q.shape[0]
+    out_d = np.empty((nq, k), np.float32)
+    out_i = np.empty((nq, k), np.int64)
+    work = [(s, min(s + batch, nq)) for s in range(0, nq, batch)]
+
+    import queue as _queue
+    import threading
+
+    staged = _queue.Queue(maxsize=2)
+
+    def _uploader():
+        try:
+            for ws, we in work:
+                qb = q[ws:we]
+                if we - ws < batch:  # pad the tail to the compiled batch shape
+                    qb = np.concatenate(
+                        [qb, np.repeat(qb[-1:], batch - (we - ws), 0)])
+                staged.put((ws, we, jnp.asarray(qb)))
+        except Exception as e:
+            staged.put(e)
+        staged.put(None)
+
+    threading.Thread(target=_uploader, daemon=True).start()
+    pending = []
+    done_staging = False
+    try:
+        while True:
+            item = None if done_staging else staged.get()
+            if isinstance(item, Exception):
+                raise item
+            if item is None:
+                done_staging = True
+            else:
+                ws, we, dev = item
+                dd, ii = pallas_l2_topk(dev, X, xsq, k, tn=tn, group=group,
+                                        Xscan=Xscan, overfetch=overfetch,
+                                        acc=acc, packed=packed,
+                                        interpret=interpret)
+                pending.append((ws, we, dd, ii))
+            while pending and (done_staging or len(pending) > 1):
+                ps, pe, dd, ii = pending.pop(0)
+                out_d[ps:pe] = np.array(dd)[: pe - ps]
+                out_i[ps:pe] = np.array(ii)[: pe - ps]
+            if done_staging and not pending:
+                break
+    finally:
+        while not done_staging:  # drain a blocked uploader on consumer error
+            try:
+                if staged.get(timeout=5.0) is None:
+                    break
+            except _queue.Empty:
+                break
+    return out_d, out_i
+
+
 def pick_tn(d: int) -> int:
     """Corpus tile rows for a given dimension. The kernel's scoped VMEM scales
     with tn*d (the X tile) plus O(B*tn) score temps: tn=2048 fits comfortably at

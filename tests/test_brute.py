@@ -126,6 +126,26 @@ def test_pallas_topk_unpacked_matches_packed(rng):
     np.testing.assert_allclose(np.array(dp), np.array(du), rtol=1e-5)
 
 
+def test_pallas_topk_stream(rng):
+    """Pipelined stream wrapper: multi-batch with an odd tail (padded to the
+    compiled batch shape) and f16 query ingest must match brute force."""
+    from hnsw_tpu.ops.pallas_topk import pallas_l2_topk_stream, pad_corpus
+    n, d, k = 1200, 32, 10
+    nq, batch = 50, 16  # 3 full batches + tail of 2
+    X = rng.standard_normal((n, d)).astype(np.float32)
+    Q = rng.standard_normal((nq, d)).astype(np.float32)
+    Xp, xsq = pad_corpus(X, tn=256)
+    dd, ids = pallas_l2_topk_stream(Q, jnp.asarray(Xp), jnp.asarray(xsq), k,
+                                    tn=256, group=8, acc=2, batch=batch,
+                                    query_dtype="f16", interpret=True)
+    d2 = ((Q[:, None, :].astype(np.float64) - X[None]) ** 2).sum(-1)
+    for b in range(nq):
+        want = set(np.argsort(d2[b], kind="stable")[:k].tolist())
+        got = set(int(i) for i in ids[b])
+        # f16 query rounding can flip exact near-ties at the k-th boundary
+        assert len(got & want) >= k - 1, (b, got, want)
+
+
 def test_pallas_topk_small_tiles_and_pick_tn(rng):
     """tn=512/group=4 (the d>512 configuration — large-d VMEM fit) matches brute
     force in interpret mode; pick_tn scales tiles down as d grows."""
