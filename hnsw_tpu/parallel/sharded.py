@@ -379,6 +379,54 @@ class ShardedHnsw:
         ids[ok] = st.host_origin[shard[ok], local[ok]]
         return ids, dists
 
+    def exact_search_batch(self, queries, knbn: int, filter=None):
+        """Sharded EXACT search (TPU-KNN style): every shard brute-force scans its
+        local vector slice on the MXU (matmul scores form), takes a local top-k,
+        and the per-shard results merge with the same all_gather + replicated
+        sort as ``search_batch``. The union of per-shard exact top-k contains
+        the global exact top-k, so this tier serves recall 1.0 — the mesh
+        analog of ``BruteForceIndex`` (the reference's brute-force harness is
+        host-only, ``tests/serpar.rs:42-70``). Inner-product-family metrics
+        only (L2/Dot/Cosine — the matmul form); others raise."""
+        from ..ops.distances import get_metric
+        metric = self.shards[0].metric.name
+        if get_metric(metric).jnp_matmul_scores is None:
+            raise ValueError(f"exact sharded scan needs a matmul-form metric, "
+                             f"got {metric!r}")
+        st = self._build_state()
+        q = np.asarray(queries, np.float32)
+        if q.ndim == 1:
+            q = q[None]
+        B = q.shape[0]
+        Bp = max(8, int(np.ceil(B / 8) * 8))
+        if Bp != B:
+            q = np.concatenate([q, np.repeat(q[-1:], Bp - B, axis=0)])
+        args = [st.vectors, st.sqnorms, st.n_live, jnp.asarray(q)]
+        if filter is not None:
+            m = np.zeros((self.n_shards, st.cap1), bool)
+            for s, sh in enumerate(self.shards):
+                n = sh._nb_point
+                if n:
+                    m[s, :n] = filter_mask(filter, sh._origin[:n])
+            args.append(jax.device_put(
+                m, jax.NamedSharding(self.mesh, P(self.axis))))
+        fn = _sharded_scan_fn(self.mesh, self.axis, metric,
+                              int(min(knbn, st.cap1)), filter is not None)
+        local, shard, dists = fn(*args)
+        local = np.array(local[:B])
+        shard = np.array(shard[:B])
+        dists = np.array(dists[:B])
+        ok = np.isfinite(dists) & (local >= 0)
+        ids = np.full(local.shape, -1, np.int64)
+        ids[ok] = st.host_origin[shard[ok], local[ok]]
+        dists = np.where(ok, dists, np.inf)
+        if local.shape[1] < knbn:
+            pad = knbn - local.shape[1]
+            ids = np.concatenate([ids, np.full((len(ids), pad), -1, np.int64)], 1)
+            dists = np.concatenate(
+                [dists, np.full((len(ids), pad), np.inf, np.float32)], 1)
+        return ids, dists
+
     def searcher(self):
         """(fn, state) pair for jit-composition: the raw sharded search program."""
         st = self._build_state()
@@ -444,6 +492,46 @@ def _sharded_codec_build_fn(mesh, axis, metric, kind):
 
     sm = shard_map(body, mesh, in_specs=(P(axis), P(axis)),
                    out_specs=(P(axis), P(axis), P(axis)))
+    fn = jax.jit(sm)
+    _PROGRAM_CACHE[key] = fn
+    return fn
+
+
+def _sharded_scan_fn(mesh, axis, metric: str, k: int, use_mask: bool):
+    """Jitted shard_map exact scan: local matmul-form distances + local top-k,
+    then the all_gather merge (same pattern as ``_sharded_search_fn``)."""
+    key = ("scan", mesh, axis, metric, k, use_mask)
+    if key in _PROGRAM_CACHE:
+        return _PROGRAM_CACHE[key]
+    from ..ops.distances import get_metric
+
+    def local_scan(vectors, sqnorms, n_live, q, *opt):
+        v = vectors[0]  # [cap1, d]
+        d = get_metric(metric).jnp_matmul_scores(q, v, sqnorms[0])  # [B, cap1]
+        cap1 = v.shape[0]
+        row = jax.lax.broadcasted_iota(jnp.int32, (1, cap1), 1)
+        alive = row < n_live[0]
+        if use_mask:
+            alive = alive & opt[0][0][None, :]
+        d = jnp.where(alive, d, jnp.inf)
+        neg, ids = jax.lax.top_k(-d, k)
+        dists = jnp.where(jnp.isfinite(-neg), -neg, jnp.inf)
+        ids = jnp.where(jnp.isfinite(dists), ids, -1)
+        all_ids = jax.lax.all_gather(ids, axis)  # [D, B, k]
+        all_d = jax.lax.all_gather(dists, axis)
+        D_, B_, k_ = all_ids.shape
+        flat_ids = jnp.transpose(all_ids, (1, 0, 2)).reshape(B_, D_ * k_)
+        flat_d = jnp.transpose(all_d, (1, 0, 2)).reshape(B_, D_ * k_)
+        order = jnp.argsort(flat_d, axis=1)[:, :k]
+        return (jnp.take_along_axis(flat_ids, order, 1),
+                (order // k_).astype(jnp.int32),
+                jnp.take_along_axis(flat_d, order, 1))
+
+    in_specs = [P(axis), P(axis), P(axis), P()]
+    if use_mask:
+        in_specs += [P(axis)]
+    sm = shard_map(local_scan, mesh, in_specs=tuple(in_specs),
+                   out_specs=(P(), P(), P()))
     fn = jax.jit(sm)
     _PROGRAM_CACHE[key] = fn
     return fn

@@ -219,3 +219,42 @@ def test_mesh_build_dot_metric(rng, mesh8):
         kth = np.sort(truth[b])[k - 1]
         hits += int((dists[b] <= kth + 1e-5).sum())
     assert hits / (12 * k) >= 0.8, hits / (12 * k)
+
+
+def test_sharded_exact_scan(rng, mesh8):
+    """exact_search_batch: recall 1.0 by construction (per-shard exact top-k
+    union contains the global top-k), 64-bit external ids survive, filters
+    apply in-scan."""
+    n, d, k = 3000, 16, 10
+    X = rng.random((n, d)).astype(np.float32)
+    big = np.int64(2) ** 33
+    ext = (np.arange(n, dtype=np.int64) * 7 + big)  # non-arange, > 2^32
+    sh = ShardedHnsw(mesh=mesh8, max_nb_connection=12, max_elements=n // 8 + 8,
+                     ef_construction=80, dist="L2")
+    sh.parallel_insert((X, ext), mode="serial")
+    Q = rng.random((16, d)).astype(np.float32)
+    ids, dists = sh.exact_search_batch(Q, k)
+    truth = get_metric("L2").brute_force(Q, X)
+    for b in range(16):
+        want = ext[np.argsort(truth[b], kind="stable")[:k]]
+        assert set(ids[b].tolist()) == set(want.tolist()), b
+        np.testing.assert_allclose(dists[b], np.sort(truth[b])[:k],
+                                   rtol=1e-4, atol=1e-4)
+    # filtered: only multiples of 3 in the EXTERNAL id space
+    fil = sorted(int(e) for e in ext if e % 3 == 0)
+    fids, fd = sh.exact_search_batch(Q, k, filter=fil)
+    assert (fids % 3 == 0).all()
+    restr = np.array([i for i in range(n) if ext[i] % 3 == 0])
+    truth_r = get_metric("L2").brute_force(Q, X[restr])
+    for b in range(16):
+        np.testing.assert_allclose(fd[b], np.sort(truth_r[b])[:k],
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_exact_scan_rejects_non_matmul_metric(rng, mesh8):
+    sh = ShardedHnsw(mesh=mesh8, max_nb_connection=8, max_elements=64,
+                     ef_construction=40, dist="Hamming", dtype=np.int32)
+    sh.parallel_insert(list(zip(rng.integers(0, 2, (32, 8)).astype(np.int32),
+                                range(32))), mode="serial")
+    with pytest.raises(ValueError):
+        sh.exact_search_batch(rng.integers(0, 2, (4, 8)).astype(np.int32), 5)
