@@ -326,7 +326,12 @@ def pad_corpus(X: np.ndarray, tn: int = 4096):
     Np = _round_up(max(N, tn), tn)
     Xp = np.zeros((Np, d), np.float32)
     Xp[:N] = X
-    xsq = (Xp.astype(np.float64) ** 2).sum(-1).astype(np.float32)
+    # chunked fp64 accumulation: a full X.astype(f64) is GBs of fresh pages at
+    # 1M x 128 (pathologically slow on this microVM — see CLAUDE.md)
+    xsq = np.empty(Np, np.float32)
+    for s in range(0, N, 65536):
+        c = Xp[s:min(s + 65536, N)].astype(np.float64)
+        xsq[s:min(s + 65536, N)] = (c * c).sum(-1).astype(np.float32)
     xsq[N:] = np.float32(3.0e38)
     return Xp, xsq
 
