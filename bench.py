@@ -20,7 +20,7 @@ BENCH_EFC (400), BENCH_SCALE (0.5 level scale — the reference's own best SIFT1
 rows use scale=0.5, examples/ann-sift1m-128-euclidean.rs:30-44; efc=400/scale=0.5
 measured +0.005-0.008 recall-per-ef over efc=200/scale=1 at 1M),
 BENCH_BATCH (4096 build batch), BENCH_QBATCH (16384 query batch),
-BENCH_SCANB (4096 exact-scan query batch),
+BENCH_SCANB (2048 exact-scan query batch),
 BENCH_BUILD (device|native), BENCH_INTRINSIC (16), BENCH_RECALL (0.98),
 BENCH_TARGET (ef-choice recall target, default max(floor+0.005, 0.985) — margin
 above the gate so tunnel variance can't flip the headline),
@@ -170,9 +170,10 @@ def main():
     # runs the scan matmul at its native bf16 rate; finalists re-score in f32
     # direct form, recall gated by the fp64 scorer below as always. The packed
     # accumulating kernel (index-in-mantissa, acc tiles per output block)
-    # measured 42k QPS at 1M x 128 on one v5e (B=2048, 8 output blocks).
+    # measured 42k QPS at 1M x 128 on one v5e (B=2048, 8 output blocks; B=4096
+    # exceeds the 64 MB scoped-VMEM budget and the kernel is VPU-bound anyway).
     Xscan = Xpd.astype(jnp.bfloat16)
-    QB_BF = int(os.environ.get("BENCH_SCANB", 4096))
+    QB_BF = int(os.environ.get("BENCH_SCANB", 2048))
     ACC = max(1, -(-(Xp.shape[0] // TN) // 8))  # ~8 output blocks (see brute.py)
 
     def bf_stream(queries, kk=k, qd=QDTYPE):

@@ -134,14 +134,16 @@ class BruteForceIndex:
             # P ~ 1e-4 per query, absorbed by overfetch+refine.
             n_tiles = -(-Xd.shape[0] // tn)
             acc = max(1, -(-n_tiles // 8))
-            # pipelined stream (uploads overlap compute); the packed kernel's
-            # single int32 output halves VMEM vs the unpacked kernel, so
-            # B=4096 fits at tn=2048 / 8 blocks (B=1024 was the unpacked
-            # kernel's ceiling) — measured 42k QPS at 1M x 128 on one v5e
+            # pipelined stream (uploads overlap compute); B=2048 at 8 blocks
+            # is the VMEM-safe operating point (the [blocks, B, 2G] int32
+            # accumulator plus the [B, tn] score temps must fit the 64 MB
+            # scoped budget: 36 MB here; B=4096 measured 72-80 MB — OOM), and
+            # the kernel is per-element VPU-bound so larger B buys nothing —
+            # measured 42k QPS at 1M x 128 on one v5e
             d, idx = pallas_l2_topk_stream(
                 q, Xd, xsq, kf, tn=tn, group=tn // 128, Xscan=Xscan,
                 overfetch=self.SCAN_OVERFETCH, acc=acc,
-                batch=min(4096, max(256, len(q))))
+                batch=min(2048, max(256, len(q))))
             d = d[:, :kf]
             idx = idx[:, :kf]
         else:

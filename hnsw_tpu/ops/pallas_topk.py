@@ -338,7 +338,7 @@ def pad_corpus(X: np.ndarray, tn: int = 4096):
 
 def pallas_l2_topk_stream(queries: np.ndarray, X, xsq, k: int, *, tn: int,
                           group: int, Xscan=None, overfetch: int = 8,
-                          acc: int = 8, batch: int = 4096, query_dtype=None,
+                          acc: int = 8, batch: int = 2048, query_dtype=None,
                           packed: bool = True, interpret: bool = False):
     """Pipelined exact-scan serving over a host query stream.
 
