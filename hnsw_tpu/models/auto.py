@@ -141,3 +141,23 @@ class AutoIndex:
 
     def search_filter(self, data, knbn: int, ef: int, filter):
         return self.search(data, knbn, ef, filter=filter)
+
+    def parallel_search(self, queries, knbn: int, ef: int = 0, filter=None,
+                        mode: str = "auto"):
+        eng = self.engine
+        if isinstance(eng, Hnsw):
+            return eng.parallel_search(queries, knbn, ef, filter=filter,
+                                       mode=mode)
+        return eng.parallel_search(queries, knbn, ef, filter=filter)
+
+    def file_dump(self, path, basename: str) -> str:
+        """Reference-format dump. Requires the graph engine (the exact scan
+        keeps no graph to dump — force ``engine="hnsw"`` if persistence in the
+        reference format is required; the raw vectors can always be saved with
+        numpy)."""
+        eng = self.engine
+        if not isinstance(eng, Hnsw):
+            raise ValueError("file_dump requires the hnsw engine; "
+                             "construct AutoIndex(engine='hnsw') for "
+                             "reference-format persistence")
+        return eng.file_dump(path, basename)

@@ -173,3 +173,13 @@ class BruteForceIndex:
         ids, d = self.search_batch(np.asarray(data)[None, :], knbn, ef, filter)
         return [Neighbour(int(i), float(dd), (0, int(i)))
                 for i, dd in zip(ids[0], d[0]) if i >= 0]
+
+    def parallel_search(self, queries, knbn: int, ef: int = 0, filter=None,
+                        mode: str = "auto"):
+        """AnnT-style batched search returning list-of-Neighbour rows (order
+        preserved, like reference ``parallel_search``, src/hnsw.rs:1601-1635)."""
+        from .hnsw import Neighbour
+        ids, d = self.search_batch(queries, knbn, ef, filter)
+        return [[Neighbour(int(i), float(dd), (0, int(i)))
+                 for i, dd in zip(ids[b], d[b]) if i >= 0]
+                for b in range(len(ids))]

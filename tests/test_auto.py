@@ -102,3 +102,28 @@ def test_insert_after_build(rng):
     assert len(a) == 101
     res = a.search(X[0] + 100.0, 1, 16)
     assert res[0].d_id == 1000
+
+
+def test_annt_facade(rng, tmp_path=None):
+    """AutoIndex implements the AnnT capability surface: parallel_search on
+    both engines, file_dump on the graph engine, a clear error on the scan."""
+    import tempfile
+    from hnsw_tpu import AnnT
+    X, pairs = _pairs(rng, 200, 12)
+    a = AutoIndex(dist="L2")  # small corpus -> scan
+    a.parallel_insert(pairs)
+    assert isinstance(a, AnnT)
+    rows = a.parallel_search(X[:5], 3, 16)
+    assert len(rows) == 5 and rows[0][0].d_id == 0
+    with pytest.raises(ValueError):
+        a.file_dump("/tmp", "nope")
+    g = AutoIndex(dist="L2", engine="hnsw", max_nb_connection=8,
+                  ef_construction=48)
+    g.parallel_insert(pairs)
+    rows = g.parallel_search(X[:5], 3, 32)
+    assert rows[0][0].d_id == 0
+    with tempfile.TemporaryDirectory() as td:
+        base = g.file_dump(td, "autodump")
+        from hnsw_tpu import HnswIo
+        r = HnswIo(td, base).load_hnsw()
+        assert r.get_nb_point() == 200
