@@ -69,7 +69,7 @@ def main():
     ap.add_argument("--dataset", default="random", choices=sorted(DATASETS))
     ap.add_argument("--hdf5", default=None)
     ap.add_argument("--backend", default="device",
-                    choices=["device", "native", "serial"])
+                    choices=["device", "native", "serial", "scan", "auto"])
     ap.add_argument("--m", type=int, default=24)
     ap.add_argument("--efc", type=int, default=400)
     ap.add_argument("--k", type=int, default=10)
@@ -94,7 +94,18 @@ def main():
     print(f"corpus {X.shape}, {len(Q)} queries, metric {metric}, backend {args.backend}")
 
     t0 = time.time()
-    if args.backend == "native":
+    if args.backend in ("scan", "auto"):
+        from hnsw_tpu import AutoIndex, BruteForceIndex
+        if args.backend == "scan":
+            h = BruteForceIndex(dist=metric)
+        else:
+            h = AutoIndex(dist=metric, max_nb_connection=args.m,
+                          ef_construction=args.efc)
+        h.parallel_insert(list(zip(X, range(len(X)))))
+        if args.backend == "auto":
+            h.build()
+            print(f"auto engine: {h.engine_name}")
+    elif args.backend == "native":
         from hnsw_tpu.ffi import NativeHnsw
         nh = NativeHnsw(max_nb_connection=args.m, max_elements=len(X),
                         ef_construction=args.efc, dist=metric)
