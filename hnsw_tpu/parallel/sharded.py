@@ -427,6 +427,49 @@ class ShardedHnsw:
                 [dists, np.full((len(ids), pad), np.inf, np.float32)], 1)
         return ids, dists
 
+    # -------------------------------------------------------------- persist ----
+
+    def file_dump(self, path, basename: str) -> str:
+        """Checkpoint the sharded index: one reference-format dump PER SHARD
+        (``<basename>.shard<i>.hnsw.{graph,data}``) plus a tiny manifest.
+        Each shard file is independently readable by the reference or by
+        ``HnswIo`` (graphs are per-shard, so no cross-shard state exists
+        beyond the shard count and mesh axis recorded in the manifest)."""
+        import json as _json
+        import os as _os
+        for s, sh in enumerate(self.shards):
+            sh.file_dump(path, f"{basename}.shard{s}")
+        manifest = {"format": "hnsw_tpu.sharded.v1", "n_shards": self.n_shards,
+                    "axis": self.axis, "basename": basename}
+        with open(_os.path.join(path, f"{basename}.shards.json"), "w") as f:
+            _json.dump(manifest, f)
+        return basename
+
+    @classmethod
+    def load(cls, path, basename: str, mesh: Optional[Mesh] = None,
+             **hnsw_kwargs) -> "ShardedHnsw":
+        """Reload a sharded checkpoint written by :meth:`file_dump`. The mesh
+        may differ in device count from the dump only if it has at least
+        ``n_shards`` devices (each shard maps to one device)."""
+        import json as _json
+        import os as _os
+        from ..io.hnswio import HnswIo
+        with open(_os.path.join(path, f"{basename}.shards.json")) as f:
+            manifest = _json.load(f)
+        n = int(manifest["n_shards"])
+        obj = cls(mesh=mesh, n_shards=None if mesh is not None else n,
+                  **hnsw_kwargs)
+        if obj.n_shards < n:
+            raise ValueError(f"mesh has {obj.n_shards} devices; dump has {n} shards")
+        obj.shards = [HnswIo(path, f"{basename}.shard{s}").load_hnsw()
+                      for s in range(n)]
+        while len(obj.shards) < obj.n_shards:  # pad empty shards to mesh size
+            obj.shards.append(Hnsw(**obj.hnsw_kwargs))
+        obj._state = None
+        obj._versions = None
+        obj._placement = None
+        return obj
+
     def searcher(self):
         """(fn, state) pair for jit-composition: the raw sharded search program."""
         st = self._build_state()

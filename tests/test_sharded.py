@@ -258,3 +258,24 @@ def test_sharded_exact_scan_rejects_non_matmul_metric(rng, mesh8):
                                 range(32))), mode="serial")
     with pytest.raises(ValueError):
         sh.exact_search_batch(rng.integers(0, 2, (4, 8)).astype(np.int32), 5)
+
+
+def test_sharded_dump_reload(rng, mesh8, tmp_path):
+    """file_dump/load round-trips the sharded index: per-shard graphs equal,
+    search results identical (mesh checkpoint/resume — SURVEY §5)."""
+    n, d, k = 1600, 12, 5
+    X = rng.random((n, d)).astype(np.float32)
+    sh = ShardedHnsw(mesh=mesh8, max_nb_connection=10, max_elements=n // 8 + 8,
+                     ef_construction=64, dist="L2")
+    sh.parallel_insert(list(zip(X, range(n))), mode="serial")
+    base = sh.file_dump(tmp_path, "meshidx")
+    r = ShardedHnsw.load(tmp_path, base, mesh=sh.mesh, max_nb_connection=10,
+                         max_elements=n // 8 + 8, ef_construction=64, dist="L2")
+    assert len(r) == n
+    for s in range(8):
+        assert sh.shards[s].check_graph_equality(r.shards[s])
+    Q = rng.random((8, d)).astype(np.float32)
+    i1, d1 = sh.search_batch(Q, k, 32)
+    i2, d2 = r.search_batch(Q, k, 32)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(d1, d2, rtol=1e-6)
