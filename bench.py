@@ -27,7 +27,11 @@ above the gate so tunnel variance can't flip the headline),
 BENCH_EXPAND (4 beam expansion), BENCH_BLOCKS (9 timed blocks),
 BENCH_DATASET ("gauss" | "clustered" — the harder clustered/heavy-tailed second
 gate; BENCH_CLUSTERS sets its mixture size),
-BENCH_QDTYPE (default "f16"; set "f32" to force full-precision ingest).
+BENCH_QDTYPE (default "f16"; set "f32" to force full-precision ingest),
+BENCH_SAVE (path: stash the built index as a native snapshot),
+BENCH_LOAD (path: skip the build and reload a BENCH_SAVE snapshot).
+Every run also records a matched-recall row (hnsw99_*: QPS at the first ef
+reaching recall >= 0.99 — the reference's own comparable operating point).
 Queries upload as float16 (device math stays f32): the axon tunnel moves
 ~22 MB/s, capping f32/128d ingest at ~31-44k QPS — an artifact of the tunneled
 single chip, not the engine (a real TPU host ingests over PCIe at GB/s).
@@ -264,7 +268,13 @@ def main():
 
     backend = os.environ.get("BENCH_BUILD", "device")
     t0 = time.time()
-    if backend == "native":
+    if os.environ.get("BENCH_LOAD") and os.path.exists(os.environ["BENCH_LOAD"]):
+        # reuse a BENCH_SAVE snapshot: skip the build (ef-sweep experiments)
+        from hnsw_tpu import load_native
+        h = load_native(os.environ["BENCH_LOAD"])
+        backend = "loaded"
+        assert h.get_nb_point() == N, (h.get_nb_point(), N)
+    elif backend == "native":
         from hnsw_tpu.ffi import NativeHnsw
         nh = NativeHnsw(max_nb_connection=M, max_elements=N, ef_construction=efc,
                         dist="L2")
@@ -304,14 +314,25 @@ def main():
                                   max(RECALL_FLOOR + 0.005, 0.985)))
     chosen_ef, chosen_recall = None, 0.0
     floor_ef, floor_recall = None, 0.0
+    ef99, recall99 = None, 0.0  # matched-recall row: the reference's own
+    # comparable operating point is 0.9907 (BASELINE.md), so every run also
+    # records QPS at the first ef reaching >= 0.99 (bounded: at most 3 ef
+    # steps beyond the TARGET point, so hard datasets don't sweep to 512)
+    R99 = 0.99
+    extra = 0
     for ef in (16, 24, 32, 48, 64, 72, 80, 88, 96, 128, 192, 256, 384, 512):
         ids, dists = run_stream(ef)
         r = recall_of(ids)
         log(f"[bench] ef={ef}: recall@{k}={r:.4f}")
-        chosen_ef, chosen_recall = ef, r
+        if chosen_ef is None or chosen_recall < max(TARGET, RECALL_FLOOR):
+            chosen_ef, chosen_recall = ef, r
+        else:
+            extra += 1
         if floor_ef is None and r >= RECALL_FLOOR:
             floor_ef, floor_recall = ef, r
-        if r >= TARGET:
+        if r >= R99:
+            ef99, recall99 = ef, r
+        if (r >= TARGET and r >= R99) or extra >= 3:
             break
 
     # sustained serving throughput at the chosen ef: pipelined stream (dispatch of
@@ -325,6 +346,18 @@ def main():
     qps, hnsw_spread = median_blocks(hnsw_once, len(Qstream))
     log(f"[bench] ef={chosen_ef} recall={chosen_recall:.4f}: {qps:.0f} QPS median "
         f"(spread {hnsw_spread:.1%}) over {BLOCKS} blocks")
+
+    qps99 = spread99 = None
+    if ef99 is not None:
+        if ef99 == chosen_ef:
+            qps99, spread99 = qps, hnsw_spread
+        else:
+            def hnsw99_once():
+                device_search_stream(h, Qstream, k, ef99, batch=QB,
+                                     expand=EXPAND, query_dtype=QDTYPE)
+            qps99, spread99 = median_blocks(hnsw99_once, len(Qstream))
+        log(f"[bench] matched-recall row: ef={ef99} recall={recall99:.4f}: "
+            f"{qps99:.0f} QPS (spread {spread99:.1%})")
 
     # reference comparable row: SIFT1M M=64 efC=1600 -> 15,258 QPS @ 0.9907 on
     # i9-13900HX 24c (BASELINE.md); this is the north-star denominator.
@@ -355,6 +388,10 @@ def main():
         "exact_qps": round(bf_qps, 1),
         "exact_recall": round(bf_recall, 4),
         "exact_spread": round(bf_spread, 3),
+        **({"hnsw99_qps": round(qps99, 1), "hnsw99_recall": round(recall99, 4),
+            "hnsw99_ef": ef99, "hnsw99_spread": round(spread99, 3),
+            "hnsw99_vs_baseline": round(qps99 / baseline_qps, 3)}
+           if qps99 is not None else {}),
         "build_s": round(build_s, 1),
         "build_backend": backend,
     }))
