@@ -36,8 +36,26 @@ def rng():
 # Caching compiled executables to disk makes repeat runs skip native compilation
 # entirely, and the reordering below puts the heaviest compiles first while the
 # process is young.
+# The cache dir is keyed by the host's CPU feature fingerprint: containers can
+# be re-provisioned onto different host generations between sessions, and
+# XLA:CPU AOT executables cached on the old host load with mismatched machine
+# features on the new one (observed: "+prefer-no-scatter ... not supported on
+# the host machine ... could lead to execution errors such as SIGILL", then a
+# segfault mid-suite). A new host silently starts a fresh cache.
+import hashlib
+
+_cpu_fp = "generic"
+try:
+    with open("/proc/cpuinfo") as _f:
+        for _line in _f:
+            if _line.startswith("flags"):
+                _cpu_fp = hashlib.sha1(_line.encode()).hexdigest()[:10]
+                break
+except OSError:
+    pass
 jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("HNSW_TEST_CACHE", "/tmp/hnsw_tpu_test_cache"))
+                  os.environ.get("HNSW_TEST_CACHE",
+                                 f"/tmp/hnsw_tpu_test_cache_{_cpu_fp}"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
