@@ -662,79 +662,46 @@ def device_search_stream(hnsw, queries: np.ndarray, knbn: int, ef: int,
             e = min(s + batch, nq)
             work.append((s, e, False))
             s = e
-    # Upload prefetcher: jnp.asarray is a SYNCHRONOUS host->device transfer on
-    # this stack (~90 ms for a 2 MB batch over the axon tunnel), and it was
-    # serializing with compute — the device sat idle during every upload. A
-    # daemon thread stages the next 2 uploads while the main thread dispatches
-    # and fetches (the transfer releases the GIL); measured ~1.5-2x stream
-    # throughput at 1M where upload and compute are comparable.
-    import queue as _queue
-    import threading
+    # Three-stage pipeline (ops/stream.py): upload, dispatch, and fetch each
+    # ride their own thread, so the synchronous host<->device transfers (the
+    # axon tunnel moves ~22 MB/s BOTH ways) overlap compute instead of
+    # serializing with it. Upload overlap alone measured ~1.5-2x at 1M; the
+    # fetch was another ~25-30% of the batch cycle at B=16384.
+    from .stream import pipelined_stream
 
-    staged = _queue.Queue(maxsize=2)
+    def _upload(w):
+        ws, we, is_super = w
+        qb = q[ws:we]
+        if is_super:
+            return jnp.asarray(qb.reshape(S, batch, -1))
+        if we - ws < batch:  # pad the tail batch
+            qb = np.concatenate([qb, np.repeat(qb[-1:], batch - (we - ws), 0)])
+        return jnp.asarray(qb)
 
-    def _uploader():
-        try:
-            for ws, we, is_super in work:
-                qb = q[ws:we]
-                if is_super:
-                    dev = jnp.asarray(qb.reshape(S, batch, -1))
-                else:
-                    if we - ws < batch:  # pad the tail batch
-                        qb = np.concatenate(
-                            [qb, np.repeat(qb[-1:], batch - (we - ws), 0)])
-                    dev = jnp.asarray(qb)
-                staged.put((ws, we, is_super, dev))
-        except Exception as e:  # surface in the consumer
-            staged.put(e)
-        staged.put(None)
+    def _dispatch(w, dev):
+        ws, we, is_super = w
+        if is_super:
+            ids, dists = _search_program_super(
+                g, dev, mask, ef=int(ef), knbn=int(knbn), expand=int(expand),
+                use_mask=use_mask, max_iters=max_iters, codec=codec,
+                term_slack=slack, rerank=rerank, pool=pool, seeds=seeds)
+            return ids.reshape(SB, -1), dists.reshape(SB, -1)
+        return _search_program(g, dev, mask, ef=int(ef), knbn=int(knbn),
+                               expand=int(expand), use_mask=use_mask,
+                               max_iters=max_iters, codec=codec,
+                               term_slack=slack, rerank=rerank, pool=pool,
+                               seeds=seeds)
 
-    threading.Thread(target=_uploader, daemon=True).start()
-    pending = []  # (start, end, device ids, device dists)
-    done_staging = False
-    try:
-        while True:
-            item = None if done_staging else staged.get()
-            if isinstance(item, Exception):
-                raise item
-            if item is None:
-                done_staging = True
-            else:
-                ws, we, is_super, dev = item
-                if is_super:
-                    ids, dists = _search_program_super(
-                        g, dev, mask, ef=int(ef),
-                        knbn=int(knbn), expand=int(expand), use_mask=use_mask,
-                        max_iters=max_iters, codec=codec, term_slack=slack,
-                        rerank=rerank, pool=pool, seeds=seeds)
-                    ids = ids.reshape(SB, -1)
-                    dists = dists.reshape(SB, -1)
-                else:
-                    ids, dists = _search_program(g, dev, mask, ef=int(ef),
-                                                 knbn=int(knbn), expand=int(expand),
-                                                 use_mask=use_mask, max_iters=max_iters,
-                                                 codec=codec, term_slack=slack,
-                                                 rerank=rerank, pool=pool,
-                                                 seeds=seeds)
-                pending.append((ws, we, ids, dists))
-            while pending and (done_staging or len(pending) > 1):
-                ps, pe, ids, dists = pending.pop(0)
-                ids_h = np.array(ids)[: pe - ps]
-                d_h = np.array(dists)[: pe - ps]
-                ids_h[~np.isfinite(d_h)] = -1
-                out_i[ps:pe] = ids_h
-                out_d[ps:pe] = d_h
-            if done_staging and not pending:
-                break
-    finally:
-        # if the consumer raised, drain so a blocked uploader can finish and
-        # exit instead of pinning its staged device buffers until process end
-        while not done_staging:
-            try:
-                if staged.get(timeout=5.0) is None:
-                    break
-            except _queue.Empty:
-                break
+    def _fetch(w, out):
+        ws, we, _ = w
+        ids, dists = out
+        ids_h = np.array(ids)[: we - ws]
+        d_h = np.array(dists)[: we - ws]
+        ids_h[~np.isfinite(d_h)] = -1
+        out_i[ws:we] = ids_h
+        out_d[ws:we] = d_h
+
+    pipelined_stream(work, _upload, _dispatch, _fetch)
     return out_i, out_d
 
 

@@ -366,53 +366,27 @@ def pallas_l2_topk_stream(queries: np.ndarray, X, xsq, k: int, *, tn: int,
     out_i = np.empty((nq, k), np.int64)
     work = [(s, min(s + batch, nq)) for s in range(0, nq, batch)]
 
-    import queue as _queue
-    import threading
+    from .stream import pipelined_stream
 
-    staged = _queue.Queue(maxsize=2)
+    def _upload(w):
+        ws, we = w
+        qb = q[ws:we]
+        if we - ws < batch:  # pad the tail to the compiled batch shape
+            qb = np.concatenate([qb, np.repeat(qb[-1:], batch - (we - ws), 0)])
+        return jnp.asarray(qb)
 
-    def _uploader():
-        try:
-            for ws, we in work:
-                qb = q[ws:we]
-                if we - ws < batch:  # pad the tail to the compiled batch shape
-                    qb = np.concatenate(
-                        [qb, np.repeat(qb[-1:], batch - (we - ws), 0)])
-                staged.put((ws, we, jnp.asarray(qb)))
-        except Exception as e:
-            staged.put(e)
-        staged.put(None)
+    def _dispatch(w, dev):
+        return pallas_l2_topk(dev, X, xsq, k, tn=tn, group=group, Xscan=Xscan,
+                              overfetch=overfetch, acc=acc, packed=packed,
+                              interpret=interpret)
 
-    threading.Thread(target=_uploader, daemon=True).start()
-    pending = []
-    done_staging = False
-    try:
-        while True:
-            item = None if done_staging else staged.get()
-            if isinstance(item, Exception):
-                raise item
-            if item is None:
-                done_staging = True
-            else:
-                ws, we, dev = item
-                dd, ii = pallas_l2_topk(dev, X, xsq, k, tn=tn, group=group,
-                                        Xscan=Xscan, overfetch=overfetch,
-                                        acc=acc, packed=packed,
-                                        interpret=interpret)
-                pending.append((ws, we, dd, ii))
-            while pending and (done_staging or len(pending) > 1):
-                ps, pe, dd, ii = pending.pop(0)
-                out_d[ps:pe] = np.array(dd)[: pe - ps]
-                out_i[ps:pe] = np.array(ii)[: pe - ps]
-            if done_staging and not pending:
-                break
-    finally:
-        while not done_staging:  # drain a blocked uploader on consumer error
-            try:
-                if staged.get(timeout=5.0) is None:
-                    break
-            except _queue.Empty:
-                break
+    def _fetch(w, out):
+        ws, we = w
+        dd, ii = out
+        out_d[ws:we] = np.array(dd)[: we - ws]
+        out_i[ws:we] = np.array(ii)[: we - ws]
+
+    pipelined_stream(work, _upload, _dispatch, _fetch)
     return out_d, out_i
 
 

@@ -1,0 +1,97 @@
+"""Three-stage host pipeline for batched device serving.
+
+On this stack `jnp.asarray` (host->device) and `np.array` (device->host) are
+SYNCHRONOUS transfers that release the GIL. Running them inline serializes the
+link with compute, so the serving loop splits into three stages on three
+threads:
+
+    uploader  --staged-->  main (dispatch)  --results-->  fetcher
+
+The uploader stages the next `depth` query batches on device; the main thread
+only dispatches jitted programs (async); the fetcher forces results to host
+and writes them into the output arrays. Upload, compute, and fetch then
+overlap — measured on the axon tunnel at 1M x 128: the fetch alone was ~25-30%
+of a 16k-query batch cycle before this split.
+
+The helper owns the shutdown/error contract: an exception in any stage
+propagates to the caller, a blocked uploader is drained so its staged device
+buffers don't pin until process end, and the fetcher always receives its
+sentinel.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+
+
+def pipelined_stream(work, upload, dispatch, fetch, depth: int = 2):
+    """Run ``fetch(item, dispatch(item, upload(item)))`` for every item of
+    ``work`` with the three stages overlapped.
+
+    ``upload`` runs on the uploader thread (host->device staging),
+    ``dispatch`` on the calling thread (must be async — jitted program calls
+    return device arrays immediately), ``fetch`` on the fetcher thread
+    (device->host forcing + writing into preallocated outputs, which makes
+    result ordering irrelevant).
+    """
+    staged = queue.Queue(maxsize=depth)
+    results = queue.Queue(maxsize=depth)
+    errs: list[BaseException] = []
+
+    def _uploader():
+        try:
+            for it in work:
+                if errs:
+                    break
+                staged.put((it, upload(it)))
+        except BaseException as e:  # surface in the caller
+            staged.put(e)
+        staged.put(None)
+
+    def _fetcher():
+        while True:
+            r = results.get()
+            if r is None:
+                break
+            if errs:
+                continue  # keep draining so the dispatcher never blocks
+            try:
+                fetch(*r)
+            except BaseException as e:
+                errs.append(e)
+
+    up = threading.Thread(target=_uploader, daemon=True)
+    ft = threading.Thread(target=_fetcher, daemon=True)
+    up.start()
+    ft.start()
+    done_staging = False
+    try:
+        while True:
+            item = staged.get()
+            if isinstance(item, BaseException):
+                done_staging = True  # uploader already sent its sentinel next
+                raise item
+            if item is None:
+                done_staging = True
+                break
+            if errs:
+                done_staging = False
+                break
+            it, dev = item
+            results.put((it, dispatch(it, dev)))
+        results.put(None)
+        ft.join()
+        if errs:
+            raise errs[0]
+    finally:
+        if ft.is_alive():
+            results.put(None)
+            ft.join(timeout=30.0)
+        while not done_staging:  # drain a blocked uploader
+            try:
+                nxt = staged.get(timeout=5.0)
+                if nxt is None or isinstance(nxt, BaseException):
+                    break
+            except queue.Empty:
+                break
