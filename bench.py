@@ -168,7 +168,7 @@ def main():
     from hnsw_tpu.ops.pallas_topk import (pallas_l2_topk_stream, pad_corpus,
                                           pick_tn)
     TN = pick_tn(d)
-    Xp, xsqp = pad_corpus(X, tn=TN)
+    Xp, xsqp, perm = pad_corpus(X, tn=TN)  # shuffled rows; perm: kernel->orig
     Xpd, xsqd = jnp.asarray(Xp), jnp.asarray(xsqp)
     # bf16 streaming stage + f32 refine (BruteForceIndex defaults): the MXU
     # runs the scan matmul at its native bf16 rate; finalists re-score in f32
@@ -206,13 +206,14 @@ def main():
         log(f"[bench] ground truth: TPU exact-scan pool (top-{GT_POOL}) "
             f"+ fp64 host refine ...")
         _, pool_ids = bf_stream(Q[:NQ_GT], kk=min(GT_POOL, N), qd=None)
+        pool_ids = perm[np.clip(pool_ids, 0, N - 1)]
         kth = np.empty(NQ_GT)
         for b in range(NQ_GT):
             rows = X[pool_ids[b]].astype(np.float64)
             dv = rows - Q[b].astype(np.float64)
             kth[b] = np.sqrt(np.partition((dv * dv).sum(-1), k - 1)[k - 1])
 
-    ids_bf = bf_stream(Q)[1]  # warm-up + recall measurement, all QB queries
+    ids_bf = perm[np.clip(bf_stream(Q)[1], 0, N - 1)]  # warm-up + recall, all QB
     Qscan = np.tile(Q, (max(1, (4 * QB_BF) // len(Q)), 1))
 
     def bf_once():

@@ -101,10 +101,13 @@ class BruteForceIndex:
         if self._dev_pallas is None:
             from ..ops.pallas_topk import pad_corpus, pick_tn
             tn = pick_tn(self._X.shape[1])
-            Xp, xsq = pad_corpus(self._X.astype(np.float32), tn=tn)
+            # shuffled row order (perm maps kernel row -> our row): the scan's
+            # per-(block, lane) keep-2 cells collide when ids correlate with
+            # geometry (cluster-ordered ingestion) — see pad_corpus
+            Xp, xsq, perm = pad_corpus(self._X.astype(np.float32), tn=tn)
             Xd = jnp.asarray(Xp)
             Xscan = None if self.SCAN_DTYPE is None else Xd.astype(self.SCAN_DTYPE)
-            self._dev_pallas = (Xd, jnp.asarray(xsq), tn, Xscan)
+            self._dev_pallas = (Xd, jnp.asarray(xsq), tn, Xscan, perm)
         return self._dev_pallas
 
     def search_batch(self, queries, knbn: int, ef: int = 0, filter=None):
@@ -116,7 +119,7 @@ class BruteForceIndex:
         k = min(knbn, len(self._X))
         if self._use_pallas():
             from ..ops.pallas_topk import pallas_l2_topk_stream
-            Xd, xsq, tn, Xscan = self._pallas_device()
+            Xd, xsq, tn, Xscan, perm = self._pallas_device()
             # a filter post-masks the fetched candidates: overfetch so the
             # filtered answer still holds k survivors at moderate selectivity
             kf = k if filter is None else min(len(self._X),
@@ -145,7 +148,7 @@ class BruteForceIndex:
                 overfetch=self.SCAN_OVERFETCH, acc=acc,
                 batch=min(2048, max(256, len(q))))
             d = d[:, :kf]
-            idx = idx[:, :kf]
+            idx = perm[np.clip(idx[:, :kf], 0, len(perm) - 1)]
         else:
             Xd, xsq = self._device()
             dj, ij = _bf_topk(jnp.asarray(q), Xd, xsq, k, self.metric.name)

@@ -24,10 +24,11 @@ def test_pool_gt_matches_host_oracle():
 
     # TPU pool method (interpret mode on CPU)
     from hnsw_tpu.ops.pallas_topk import pallas_l2_topk_stream, pad_corpus
-    Xp, xsq = pad_corpus(X, tn=256)
+    Xp, xsq, perm = pad_corpus(X, tn=256)
     _, pool_ids = pallas_l2_topk_stream(Q, jnp.asarray(Xp), jnp.asarray(xsq),
                                         pool, tn=256, group=8, acc=2,
                                         batch=32, interpret=True)
+    pool_ids = perm[np.clip(pool_ids, 0, n - 1)]
     kth_pool = np.empty(nq)
     for b in range(nq):
         rows = X[pool_ids[b]].astype(np.float64)

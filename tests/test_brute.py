@@ -45,10 +45,10 @@ def test_pallas_topk_interpret(rng):
     n, d, B, k = 300, 32, 8, 10
     X = rng.standard_normal((n, d)).astype(np.float32)
     Q = rng.standard_normal((B, d)).astype(np.float32)
-    Xp, xsq = pad_corpus(X, tn=256)
+    Xp, xsq, perm = pad_corpus(X, tn=256)
     dd, ids = pallas_l2_topk(jnp.asarray(Q), jnp.asarray(Xp), jnp.asarray(xsq),
                              k, tn=256, group=8, interpret=True, acc=1)
-    dd, ids = np.array(dd), np.array(ids)
+    dd, ids = np.array(dd), perm[np.array(ids)]
     truth = get_metric("L2").brute_force(Q, X)
     hits = 0
     for b in range(B):
@@ -73,12 +73,16 @@ def test_pallas_topk_bf16_scan_refine(rng):
     n, d, B, k = 2000, 64, 8, 10
     X = rng.standard_normal((n, d)).astype(np.float32)
     Q = rng.standard_normal((B, d)).astype(np.float32)
-    Xp, xsq = pad_corpus(X, tn=256)
+    Xp, xsq, perm = pad_corpus(X, tn=256)
     Xscan = jnp.asarray(Xp).astype(jnp.bfloat16)
+    # acc=1: this test targets the bf16/refine contract; at acc=8 the whole
+    # 8-tile corpus collapses to one 64-cell block and keep-2 collisions make
+    # exact top-k a coin flip at this tiny G (the product configs keep G=128
+    # and ~8 blocks — collision P ~ 1e-4)
     dd, ids = pallas_l2_topk(jnp.asarray(Q), jnp.asarray(Xp), jnp.asarray(xsq),
                              k, tn=256, group=8, interpret=True,
-                             Xscan=Xscan, overfetch=24)
-    dd, ids = np.array(dd), np.array(ids)
+                             Xscan=Xscan, overfetch=24, acc=1)
+    dd, ids = np.array(dd), perm[np.array(ids)]
     d2 = ((Q[:, None, :].astype(np.float64) - X[None]) ** 2).sum(-1)
     hits = 0
     for b in range(B):
@@ -97,7 +101,7 @@ def test_pallas_topk_acc_blocks(rng):
     n, d, B, k = 1700, 32, 8, 10
     X = rng.standard_normal((n, d)).astype(np.float32)
     Q = rng.standard_normal((B, d)).astype(np.float32)
-    Xp, xsq = pad_corpus(X, tn=256)  # 1792 rows -> 7 tiles; acc=3 -> blocks 3+3+1
+    Xp, xsq, perm = pad_corpus(X, tn=256)  # 1792 rows -> 7 tiles; acc=3 -> blocks 3+3+1
     args = (jnp.asarray(Q), jnp.asarray(Xp), jnp.asarray(xsq), k)
     kw = dict(tn=256, group=8, interpret=True)
     d1, i1 = pallas_l2_topk(*args, acc=1, **kw)
@@ -105,7 +109,7 @@ def test_pallas_topk_acc_blocks(rng):
     d2 = ((Q[:, None, :].astype(np.float64) - X[None]) ** 2).sum(-1)
     for b in range(B):
         want = set(np.argsort(d2[b], kind="stable")[:k].tolist())
-        assert set(int(i) for i in np.array(i3)[b]) == want
+        assert set(int(i) for i in perm[np.array(i3)[b]]) == want
     np.testing.assert_allclose(np.array(d3), np.array(d1), rtol=1e-5)
 
 
@@ -117,7 +121,7 @@ def test_pallas_topk_unpacked_matches_packed(rng):
     n, d, B, k = 1500, 32, 8, 10
     X = rng.standard_normal((n, d)).astype(np.float32)
     Q = rng.standard_normal((B, d)).astype(np.float32)
-    Xp, xsq = pad_corpus(X, tn=256)
+    Xp, xsq, perm = pad_corpus(X, tn=256)
     args = (jnp.asarray(Q), jnp.asarray(Xp), jnp.asarray(xsq), k)
     kw = dict(tn=256, group=8, interpret=True, acc=3)
     dp, ip = pallas_l2_topk(*args, packed=True, **kw)
@@ -134,14 +138,14 @@ def test_pallas_topk_stream(rng):
     nq, batch = 50, 16  # 3 full batches + tail of 2
     X = rng.standard_normal((n, d)).astype(np.float32)
     Q = rng.standard_normal((nq, d)).astype(np.float32)
-    Xp, xsq = pad_corpus(X, tn=256)
+    Xp, xsq, perm = pad_corpus(X, tn=256)
     dd, ids = pallas_l2_topk_stream(Q, jnp.asarray(Xp), jnp.asarray(xsq), k,
                                     tn=256, group=8, acc=2, batch=batch,
                                     query_dtype="f16", interpret=True)
     d2 = ((Q[:, None, :].astype(np.float64) - X[None]) ** 2).sum(-1)
     for b in range(nq):
         want = set(np.argsort(d2[b], kind="stable")[:k].tolist())
-        got = set(int(i) for i in ids[b])
+        got = set(int(i) for i in perm[ids[b]])
         # f16 query rounding can flip exact near-ties at the k-th boundary
         assert len(got & want) >= k - 1, (b, got, want)
 
@@ -156,9 +160,9 @@ def test_pallas_topk_small_tiles_and_pick_tn(rng):
     n, d, k = 1500, 32, 5
     X = rng.standard_normal((n, d)).astype(np.float32)
     Q = rng.standard_normal((8, d)).astype(np.float32)
-    Xp, xsq = pad_corpus(X, tn=512)
+    Xp, xsq, perm = pad_corpus(X, tn=512)
     dd, ids = pallas_l2_topk(jnp.asarray(Q), jnp.asarray(Xp), jnp.asarray(xsq),
                              k, tn=512, group=4, interpret=True)
     d2 = ((Q[:, None, :] - X[None]) ** 2).sum(-1)
     true = np.argsort(d2, axis=1)[:, :k]
-    assert (np.array(ids)[:, 0] == true[:, 0]).all()
+    assert (perm[np.array(ids)[:, 0]] == true[:, 0]).all()
