@@ -120,6 +120,10 @@ def native_lib():
         lib.hnsw_export_data.argtypes = [C.c_void_p, C.POINTER(C.c_float)]
         lib.hnsw_export_layer.argtypes = [C.c_void_p, C.c_int32,
                                           C.POINTER(C.c_int32), C.POINTER(C.c_float)]
+        lib.hnsw_layer_max_row.restype = C.c_int64
+        lib.hnsw_layer_max_row.argtypes = [C.c_void_p, C.c_int32]
+        lib.hnsw_export_layer_w.argtypes = [C.c_void_p, C.c_int32, C.c_int64,
+                                            C.POINTER(C.c_int32), C.POINTER(C.c_float)]
         # typed surface (element-type parity with the reference's per-type FFI)
         for suf in _TYPED.values():
             f = getattr(lib, f"hnsw_init_{suf}")
@@ -444,11 +448,16 @@ class NativeHnsw:
         top = int(lvl.max(initial=0))
         for l in range(top + 1):
             t = h._layer_table(l)
-            ids = np.empty((n, t.width), np.int32)
-            dd = np.empty((n, t.width), np.float32)
-            self.lib.hnsw_export_layer(self.h, l,
-                                       ids.ctypes.data_as(C.POINTER(C.c_int32)),
-                                       _fp(dd))
+            # navigability-repaired graphs carry rows wider than the M-derived
+            # default; size the export to the widest row actually present
+            w = max(t.width, int(self.lib.hnsw_layer_max_row(self.h, l)))
+            if w > t.width:
+                t.grow_width(w)
+            ids = np.empty((n, w), np.int32)
+            dd = np.empty((n, w), np.float32)
+            self.lib.hnsw_export_layer_w(self.h, l, w,
+                                         ids.ctypes.data_as(C.POINTER(C.c_int32)),
+                                         _fp(dd))
             t.ids[:n] = ids
             t.dists[:n] = dd
             t.counts[:n] = (ids >= 0).sum(1)

@@ -1266,6 +1266,43 @@ int32_t hnsw_element_type(void* hv) {
   return int32_t(static_cast<Handle*>(hv)->t);
 }
 
+// Widest row actually present in layer l — can exceed width(l) when the index
+// was imported from a navigability-repaired graph (reserve columns; see
+// Hnsw.ensure_navigable). to_hnsw sizes its export buffers with this so the
+// repair links survive a native round trip.
+int64_t hnsw_layer_max_row(void* hv, int32_t l) {
+  int64_t w = 0;
+  dispatch(static_cast<Handle*>(hv), [&](auto* ix) {
+    int64_t cnt = ix->n.load();
+    for (int64_t i = 0; i < cnt; ++i)
+      w = std::max<int64_t>(w, int64_t(ix->points[i].nbrs[l].size()));
+  });
+  return w;
+}
+
+// Stride-explicit export (w >= hnsw_layer_max_row): rows shorter than w are
+// -1/inf padded; rows longer than w are truncated (callers pass a large-enough
+// w via hnsw_layer_max_row).
+void hnsw_export_layer_w(void* hv, int32_t l, int64_t wq, int32_t* ids,
+                         float* dists) {
+  dispatch(static_cast<Handle*>(hv), [&](auto* ix) {
+    int64_t cnt = ix->n.load();
+    uint64_t w = uint64_t(wq);
+    for (int64_t i = 0; i < cnt; ++i) {
+      const auto& row = ix->points[i].nbrs[l];
+      uint64_t m = std::min<uint64_t>(row.size(), w);
+      for (uint64_t j = 0; j < m; ++j) {
+        ids[uint64_t(i) * w + j] = row[j].id;
+        dists[uint64_t(i) * w + j] = row[j].dist;
+      }
+      for (uint64_t j = m; j < w; ++j) {
+        ids[uint64_t(i) * w + j] = -1;
+        dists[uint64_t(i) * w + j] = INFINITY;
+      }
+    }
+  });
+}
+
 void hnsw_export_layer(void* hv, int32_t l, int32_t* ids, float* dists) {
   dispatch(static_cast<Handle*>(hv), [&](auto* ix) {
     int64_t cnt = ix->n.load();

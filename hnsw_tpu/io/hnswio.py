@@ -409,8 +409,10 @@ class HnswIo:
                 t = hnsw._layer_table(l)
                 ids = np.fromiter((i for _, i in lst), np.int32, len(lst))
                 dds = np.fromiter((d for d, _ in lst), np.float32, len(lst))
-                if len(ids) > t.width:  # tolerate foreign dumps with wider rows
-                    ids, dds = ids[: t.width], dds[: t.width]
+                # rows wider than the M-derived default are kept intact —
+                # set_row grows reserve columns (navigability-repaired graphs
+                # carry them; truncating here would silently drop the repair
+                # links on reload)
                 t.set_row(idx, ids, dds)
         # data
         if not graph_only and descr.dimension > 0:

@@ -159,6 +159,33 @@ class BeamCodec:
 # oracle's descent); above it, the MXU scan strictly improves the entry point.
 PIVOT_MIN_POINTS = 32_768
 
+# Metrics whose pivot scan has an MXU matmul form (scores_matmul).
+_PIVOT_METRICS = ("L2", "DistL2", "Dot", "DistDot", "Cosine", "DistCosine")
+
+
+def compute_pivots(hnsw, layer0_ids, n: int):
+    """The entry-pivot set a search snapshot of ``hnsw`` will use, or None.
+
+    IVF-style widened pivot set: the hierarchy's level>=1 points plus a
+    component-aware corpus fill (ops/components.select_pivots). The beam only
+    runs on layer 0, so ANY point can serve as an entry pivot; more pivots =
+    closer starts = fewer beam iterations, for one (cheap, MXU-resident) extra
+    matmul. Auto policy: ~n/64 pivots capped at 16k (measured at 1M: +0.0013
+    recall over the bare 1752-point hierarchy for ~0.3 ms of matmul per
+    8k-query batch). Shared with ``Hnsw.ensure_navigable`` so the build-time
+    reachability guarantee covers exactly the seeds search starts from.
+    """
+    pivot_count = getattr(hnsw, "_pivot_count", None)
+    if (pivot_count == 0 or n < PIVOT_MIN_POINTS
+            or hnsw.metric.name not in _PIVOT_METRICS):
+        return None
+    from .components import select_pivots
+    base = np.flatnonzero(hnsw._level[:n] >= 1)
+    need = (min(16_384, max(len(base), n // 64)) if pivot_count is None
+            else int(pivot_count))
+    pv = select_pivots(hnsw._level, layer0_ids, n, need)
+    return pv if len(pv) >= 8 else None
+
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
@@ -220,6 +247,8 @@ class GraphArrays:
         for l in range(max_layer + 1):
             t = hnsw._layers.get(l)
             w = hnsw._layer_width(l)
+            if t is not None:
+                w = max(w, t.width)  # repaired graphs carry reserve columns
             ids = np.full((cap1, w), -1, np.int32)
             dd = np.full((cap1, w), np.inf, np.float32)
             if t is not None:
@@ -229,27 +258,8 @@ class GraphArrays:
             ldists.append(jnp.asarray(dd))
         vec = jnp.asarray(v, dtype=device_dtype)
         nonempty = tuple(bool(hnsw.get_layer_nb_point(l) > 0) for l in range(max_layer + 1))
-        pivots = None
-        pivot_count = getattr(hnsw, "_pivot_count", None)
-        if (pivot_count != 0 and n >= PIVOT_MIN_POINTS
-                and hnsw.metric.name in ("L2", "DistL2", "Dot", "DistDot",
-                                         "Cosine", "DistCosine")):
-            pv = np.flatnonzero(hnsw._level[:n] >= 1).astype(np.int32)
-            # IVF-style widened pivot set: the hierarchy's level>=1 points plus
-            # an evenly spaced corpus sample. The beam only runs on layer 0, so
-            # ANY point can serve as an entry pivot; more pivots = closer
-            # starts = fewer beam iterations, for one (cheap, MXU-resident)
-            # extra matmul. Auto policy: ~n/64 pivots capped at 16k (measured
-            # at 1M: +0.0013 recall over the bare 1752-point hierarchy for
-            # ~0.3 ms of matmul per 8k-query batch).
-            need = (min(16_384, max(len(pv), n // 64)) if pivot_count is None
-                    else int(pivot_count))
-            if need > len(pv):
-                step = max(1, n // max(need - len(pv), 1))
-                fill = np.arange(0, n, step, dtype=np.int32)
-                pv = np.unique(np.concatenate([pv, fill]))[:need]
-            if len(pv) >= 8:
-                pivots = jnp.asarray(pv)
+        pv = compute_pivots(hnsw, lids[0], n)
+        pivots = jnp.asarray(pv) if pv is not None else None
         return cls(
             vectors=vec,
             sqnorms=(vec.astype(jnp.float32) ** 2).sum(-1),

@@ -456,7 +456,9 @@ class HostBuildState:
             max(max(hnsw._layers.keys(), default=0), int(new_levels.max(initial=0)),
                 int(hnsw._level[:n0].max(initial=0))) + 1)
         self.widths = widths if widths is not None else tuple(
-            hnsw._layer_width(l) for l in range(self.L))
+            max(hnsw._layer_width(l),
+                hnsw._layers[l].width if l in hnsw._layers else 0)
+            for l in range(self.L))
         self.cap1 = cap1 if cap1 is not None else ((self.n_total + 7) // 8) * 8 + 1
         self.counts = np.array([int((hnsw._level[:n0] == l).sum())
                                 for l in range(self.L)], np.int64)
@@ -543,6 +545,10 @@ class HostBuildState:
             t = h._layer_table(l)
             ids = np.asarray(tables_np[l][0][:n_total])
             dd = np.asarray(tables_np[l][1][:n_total])
+            if ids.shape[1] > t.width and (ids[:, t.width:] >= 0).any():
+                # device rounds ran on a conformed-wider program (another
+                # shard carried reserve columns) and placed links there
+                t.grow_width(ids.shape[1])
             t.ids[:n_total] = ids[:, : t.width]
             t.dists[:n_total] = dd[:, : t.width]
             t.counts[:n_total] = (ids[:, : t.width] >= 0).sum(1)
@@ -600,3 +606,11 @@ def device_parallel_insert(hnsw, pairs, batch_size: Optional[int] = None,
             from ..utils.logging import init_logging
             init_logging().info("device insert: %d points indexed", st.cursor)
     st.flush(tables)
+    if getattr(hnsw, "_auto_repair", True):
+        # Build-finalize navigability guarantee (see Hnsw.ensure_navigable):
+        # on healthy graphs this is one confirming BFS; on clustered corpora it
+        # is the difference between recall 0.50-at-any-ef and a working index.
+        repaired = hnsw.ensure_navigable()
+        if repaired:
+            from ..utils.logging import init_logging
+            init_logging().info("navigability repair: %d links added", repaired)

@@ -185,7 +185,12 @@ class ShardedHnsw:
         states = [HostBuildState(self.shards[s], buckets[s]) for s in range(D)]
         # one jitted program across shards -> shared static geometry
         L = max(st.L for st in states)
-        widths = tuple(self.shards[0]._layer_width(l) for l in range(L))
+        # take the max over the per-shard states: a shard whose table was
+        # already widened (navigability reserve columns) must not be conformed
+        # down to the M-derived default
+        widths = tuple(max([self.shards[0]._layer_width(l)]
+                           + [st.widths[l] for st in states if l < st.L])
+                       for l in range(L))
         cap1 = max(st.cap1 for st in states)
         for st in states:
             st.conform(L, widths, cap1)
@@ -263,7 +268,12 @@ class ShardedHnsw:
         vec = np.zeros((D, cap1, d), np.float32)
         org = np.full((D, cap1), -1, np.int64)
         n_live = np.zeros(D, np.int32)
-        ids_l = [np.full((D, cap1, self.shards[0]._layer_width(l)), -1, np.int32)
+        # size each layer to the widest shard table — navigability-repaired
+        # shards carry reserve columns past the M-derived width
+        ids_l = [np.full((D, cap1,
+                          max([self.shards[0]._layer_width(l)]
+                              + [g.layer_ids[l].shape[1] for g in graphs
+                                 if l < g.num_layers])), -1, np.int32)
                  for l in range(L)]
         entry = np.zeros(D, np.int32)
         for s, g in enumerate(graphs):

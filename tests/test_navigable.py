@@ -1,0 +1,133 @@
+"""Navigability repair (``Hnsw.ensure_navigable``) on clustered corpora.
+
+The diversity prune (reference ``src/hnsw.rs:1365-1395``) starves points of
+in-links on well-separated clustered data — measured at 40k x 64d: 19,109
+points with in-degree ZERO, recall plateaued at 0.50 at any ef (the reference
+itself measures 0.28 @ ef=512 there). The repair makes directed reachability
+from the search's entry-pivot set a build-time guarantee and reinforces every
+point to >= 2 in-links. These tests pin the guarantee, the reserve-column
+(width growth) plumbing it relies on, and persistence of repaired (wider)
+graphs through both IO tiers.
+"""
+
+import numpy as np
+import pytest
+
+from hnsw_tpu import Hnsw
+
+
+def _clustered(rng, n, d, n_clusters, spread=0.05):
+    centers = rng.standard_normal((n_clusters, d)).astype(np.float32) * 4.0
+    asg = rng.integers(0, n_clusters, n)
+    X = centers[asg] + spread * rng.standard_normal((n, d)).astype(np.float32)
+    return X.astype(np.float32)
+
+
+def _reachable_from(h, pivots):
+    """Directed-BFS reachability over the layer-0 table from ``pivots``."""
+    n = h._nb_point
+    t = h._layers[0]
+    tbl = t.ids[:n]
+    reach = np.zeros(n, bool)
+    reach[pivots] = True
+    frontier = np.asarray(pivots)
+    while len(frontier):
+        nb = tbl[frontier]
+        nb = nb[nb >= 0]
+        nb = np.unique(nb)
+        frontier = nb[~reach[nb]]
+        reach[frontier] = True
+    return reach
+
+
+def _fallback_pivots(h):
+    """The pivot set ensure_navigable uses below PIVOT_MIN_POINTS."""
+    n = h._nb_point
+    lv = np.flatnonzero(h._level[:n] >= 1)
+    ent = [h._entry] if h._entry >= 0 else []
+    return np.unique(np.concatenate([lv, np.asarray(ent, np.int64)]))
+
+
+def test_grow_width_reserve_columns():
+    h = Hnsw(max_nb_connection=4, max_elements=16, ef_construction=16, dist="L2")
+    t = h._layer_table(0)
+    w0 = t.width
+    ids = np.arange(w0 + 3, dtype=np.int32)
+    dds = np.linspace(0.1, 1.0, w0 + 3).astype(np.float32)
+    t.set_row(0, ids, dds)  # longer than the M-derived width -> grows
+    assert t.width >= w0 + 3
+    rid, rdd = t.row(0)
+    np.testing.assert_array_equal(rid, ids)
+    np.testing.assert_allclose(rdd, dds, rtol=1e-6)
+    # untouched rows stay -1 padded across the new columns
+    assert (t.ids[1] == -1).all()
+
+
+def test_ensure_navigable_clustered_device_build(rng):
+    n, d = 3000, 16
+    X = _clustered(rng, n, d, n_clusters=12)
+    h = Hnsw(max_nb_connection=8, max_elements=n, ef_construction=48, dist="L2")
+    h.parallel_insert((X, np.arange(n)), mode="device")  # auto-repair fires
+    pv = _fallback_pivots(h)
+    reach = _reachable_from(h, pv)
+    assert reach.all(), f"unreachable after repair: {int((~reach).sum())}"
+    # reinforcement: every non-pivot point has >= min(2, #forward-neighbors)
+    # in-links (a point with a single forward-neighbor that already links
+    # back is saturated — no further parent exists to link from)
+    t = h._layers[0]
+    tbl = t.ids[:n]
+    indeg = np.zeros(n, np.int64)
+    np.add.at(indeg, tbl[tbl >= 0], 1)
+    non_pv = np.ones(n, bool)
+    non_pv[pv] = False
+    fwd = (tbl >= 0).sum(1)
+    target = np.minimum(2, fwd)
+    assert (indeg[non_pv] >= target[non_pv]).all()
+    # repair must never create duplicate links within a row
+    for i in rng.choice(n, 64, replace=False):
+        row = tbl[i][tbl[i] >= 0]
+        assert len(np.unique(row)) == len(row)
+
+
+def test_ensure_navigable_idempotent(rng):
+    n, d = 2500, 8
+    X = _clustered(rng, n, d, n_clusters=8)
+    h = Hnsw(max_nb_connection=8, max_elements=n, ef_construction=32, dist="L2")
+    h.parallel_insert((X, np.arange(n)), mode="device")
+    again = h.ensure_navigable()
+    assert again == 0  # the build-finalize hook already repaired
+
+
+def test_repaired_graph_dump_reload_roundtrip(rng, tmp_path):
+    """Reserve columns survive the reference-format dump in the Python tier
+    (the reader must not truncate rows wider than the M-derived default)."""
+    n, d = 3000, 16
+    X = _clustered(rng, n, d, n_clusters=12)
+    h = Hnsw(max_nb_connection=8, max_elements=n, ef_construction=48, dist="L2")
+    h.parallel_insert((X, np.arange(n)), mode="device")
+    assert h._layers[0].width > h._layer_width(0), "test needs a widened graph"
+    from hnsw_tpu.io.hnswio import HnswIo
+    h.file_dump(tmp_path, "repaired")
+    h2 = HnswIo(tmp_path, "repaired").load_hnsw()
+    assert h.check_graph_equality(h2)
+    reach = _reachable_from(h2, _fallback_pivots(h2))
+    assert reach.all()
+
+
+def test_repaired_graph_native_roundtrip(rng):
+    """Reserve columns survive a native import/export round trip
+    (hnsw_layer_max_row / hnsw_export_layer_w)."""
+    import shutil
+    if shutil.which("g++") is None:
+        pytest.skip("no C++ toolchain")
+    from hnsw_tpu.ffi import NativeHnsw
+    n, d = 3000, 16
+    X = _clustered(rng, n, d, n_clusters=12)
+    h = Hnsw(max_nb_connection=8, max_elements=n, ef_construction=48, dist="L2")
+    h.parallel_insert((X, np.arange(n)), mode="device")
+    assert h._layers[0].width > h._layer_width(0), "test needs a widened graph"
+    nh = NativeHnsw.from_hnsw(h)
+    h2 = nh.to_hnsw()
+    assert h.check_graph_equality(h2)
+    reach = _reachable_from(h2, _fallback_pivots(h2))
+    assert reach.all()
