@@ -519,8 +519,11 @@ def load_native(path: str) -> Hnsw:
         if key.endswith("_ids") and key.startswith("l"):
             l = int(key[1:-4])
             t = hnsw._layer_table(l)
-            t.ids[:n] = z[f"l{l}_ids"]
-            t.dists[:n] = z[f"l{l}_dists"]
+            w = z[f"l{l}_ids"].shape[1]
+            if w > t.width:  # repaired (widened) snapshot: grow before assigning
+                t.grow_width(w)
+            t.ids[:n, :w] = z[f"l{l}_ids"]
+            t.dists[:n, :w] = z[f"l{l}_dists"]
             t.counts[:n] = z[f"l{l}_counts"]
     hnsw._version += 1
     return hnsw

@@ -644,7 +644,10 @@ class Hnsw:
             cw = t.counts[r_idx]
             need = int(cw.max()) + 1
             if need > t.width:
-                t.grow_width(-(-need // 4) * 4)
+                # quantum 8: the device codec needs an 8-aligned block width
+                # (Mosaic sublane tiling) — growing by 4 made the 200k driver
+                # build 52-wide and aborted every TPU search (VERDICT r3 #1)
+                t.grow_width(-(-need // 8) * 8)
             t.ids[r_idx, cw] = u_idx
             t.dists[r_idx, cw] = d
             t.counts[r_idx] = cw + 1

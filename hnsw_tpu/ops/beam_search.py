@@ -135,7 +135,7 @@ def quantize_queries(q):
 USE_PALLAS_SCORES = True
 
 
-def _pallas_scores_ok(B: int, d: int) -> bool:
+def _pallas_scores_ok(B: int, d: int, M0: int = 8) -> bool:
     if not USE_PALLAS_SCORES:
         return False
     try:
@@ -145,8 +145,14 @@ def _pallas_scores_ok(B: int, d: int) -> bool:
     # d must be a whole number of 128-wide lanes: the kernel reshapes
     # [QT, K*d] -> [QT, K, d], and Mosaic cannot split a lane dimension on a
     # non-128 boundary (d=25 glove blocks fail to lower with an HTTP 500 from
-    # the remote Mosaic compiler).
-    return backend != "cpu" and B % 8 == 0 and d % 128 == 0
+    # the remote Mosaic compiler). M0 must be 8-aligned: the fused kernel DMAs
+    # whole [M0, d] rows from the HBM blocks table and Mosaic requires the
+    # sliced dimension aligned to the (8, 128) tiling — a 52-wide repaired
+    # table aborted the round-3 driver bench ("Slice shape along dimension 1
+    # must be aligned to tiling (8)"). BeamCodec.build now pads to 8, so this
+    # is a belt-and-braces degrade-to-unfused guard.
+    return (backend != "cpu" and B % 8 == 0 and d % 128 == 0
+            and M0 % 8 == 0)
 
 
 def scores_codec(codec, q, src_c, qsq, qnorm, q_i8=None, q_i8_scale=None,
@@ -167,7 +173,8 @@ def scores_codec(codec, q, src_c, qsq, qnorm, q_i8=None, q_i8_scale=None,
     E = src_c.shape[1]
     K = E * codec.M0
     m = codec.metric_name
-    if codec.blocks.dtype == jnp.int8 and _pallas_scores_ok(B, codec.dim):
+    if codec.blocks.dtype == jnp.int8 and _pallas_scores_ok(B, codec.dim,
+                                                            codec.M0):
         form = ("l2" if m in ("L2", "DistL2")
                 else "dot" if m in ("Dot", "DistDot") else "cosine")
         qsn = qsq if form == "l2" else qnorm
@@ -319,7 +326,8 @@ def beam_search_layer(metric_name: str, vectors, sqnorms, tbl_ids, q, start_ids,
     # inside lax.while_loop hangs the remote compile pipeline — measured r3);
     # cap the unroll length so pathological max_iters keep the while_loop form
     use_fused = (codec is not None and codec.blocks.dtype == jnp.int8
-                 and _pallas_scores_ok(B, codec.dim) and max_iters <= 48)
+                 and _pallas_scores_ok(B, codec.dim, codec.M0)
+                 and max_iters <= 48)
 
     def cond(state):
         it, done, *_ = state
@@ -550,8 +558,15 @@ def search_program(g, q, mask, *, ef: int, knbn: int, expand: int, use_mask: boo
                                         stop_layer=max(layer0, 0))
     tbl = (g.layer_ids[layer0] if layer0 < g.num_layers
            else jnp.full((g.cap1, 1), -1, jnp.int32))
-    if codec is not None and codec.M0 < tbl.shape[1]:
-        tbl = tbl[:, :codec.M0]  # width-capped codec: traverse the same slice
+    if codec is not None and codec.M0 != tbl.shape[1]:
+        if codec.M0 < tbl.shape[1]:
+            tbl = tbl[:, :codec.M0]  # width-capped codec: traverse the same slice
+        else:
+            # 8-alignment padding in BeamCodec.build made the codec wider than
+            # the layer table — pad the traversal slice with -1 ids to match
+            # (padded columns score INF and never enter the beam).
+            tbl = jnp.pad(tbl, ((0, 0), (0, codec.M0 - tbl.shape[1])),
+                          constant_values=-1)
     P = 0 if pool is None else max(int(pool), knbn)
     ef_t = ef if P else max(ef, knbn)  # pool carries results; beam can be narrow
     out = beam_search_layer(

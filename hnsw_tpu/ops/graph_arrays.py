@@ -121,7 +121,21 @@ class BeamCodec:
             raise ValueError(f"codec unsupported for metric {g.metric_name}")
         tbl = g.layer_ids[layer]
         if width is not None and width < tbl.shape[1]:
-            tbl = tbl[:, :width]
+            # round the cap up to 8 with REAL table columns so the codec's
+            # columns always stay a prefix of the layer table (search_program
+            # traverses tbl[:, :M0] — mixing real neighbor ids with padded
+            # codec blocks would mis-score them)
+            tbl = tbl[:, :min(_round_up(width, 8), tbl.shape[1])]
+        # Mosaic alignment: the fused gather+score kernel DMAs whole [M0, d]
+        # rows from the HBM blocks table and requires dim 1 to be 8-aligned
+        # (sublane tiling). Navigability repair grows layer-0 tables to
+        # arbitrary widths, so pad the codec neighborhood with -1 columns up
+        # to the next multiple of 8 — search_program pads its traversal table
+        # slice to match, and the -1 ids mask the padded scores to INF.
+        M0a = _round_up(tbl.shape[1], 8)
+        if M0a != tbl.shape[1]:
+            tbl = jnp.pad(tbl, ((0, 0), (0, M0a - tbl.shape[1])),
+                          constant_values=-1)
         cap1, M0 = tbl.shape
         d = g.vectors.shape[1]
         v = g.vectors.astype(jnp.float32)

@@ -330,7 +330,16 @@ class ShardedHnsw:
             return cs[1]
         tbl = st.layer_ids[0]
         if self._codec_width is not None and self._codec_width < tbl.shape[2]:
-            tbl = tbl[:, :, : int(self._codec_width)]
+            # round the cap up to 8 with REAL table columns (see BeamCodec.build)
+            w = min(-(-int(self._codec_width) // 8) * 8, tbl.shape[2])
+            tbl = tbl[:, :, :w]
+        # pad the block width to a multiple of 8 (-1 columns) — same Mosaic
+        # sublane alignment as BeamCodec.build; search_program pads its
+        # traversal table slice to match
+        M0a = -(-tbl.shape[2] // 8) * 8
+        if M0a != tbl.shape[2]:
+            tbl = jnp.pad(tbl, ((0, 0), (0, 0), (0, M0a - tbl.shape[2])),
+                          constant_values=-1)
         fn = _sharded_codec_build_fn(self.mesh, self.axis, metric, kind)
         blocks, bsq, scale = fn(st.vectors, tbl)
         out = (blocks, bsq, scale, int(tbl.shape[2]), int(st.vectors.shape[2]))
