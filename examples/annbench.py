@@ -31,6 +31,9 @@ DATASETS = {
 
 
 def load_hdf5(path, metric_hint=None):
+    """ann-benchmarks HDF5 reader — analog of the reference's
+    ``examples/utils/annhdf5.rs:17-214`` (datasets ``train``/``test``/
+    ``neighbors``/``distances``, root attr ``distance``)."""
     import h5py  # optional; ann-benchmarks files carry ground truth
 
     with h5py.File(path, "r") as f:
@@ -38,7 +41,13 @@ def load_hdf5(path, metric_hint=None):
         test = np.asarray(f["test"], np.float32)
         neighbors = np.asarray(f["neighbors"], np.int64)
         distances = np.asarray(f["distances"], np.float32)
-    return train, test, neighbors, distances
+        dist_attr = f.attrs.get("distance", "euclidean")
+        if isinstance(dist_attr, bytes):
+            dist_attr = dist_attr.decode()
+    metric = metric_hint or {"euclidean": "L2", "angular": "Cosine",
+                             "hamming": "Hamming", "jaccard": "Jaccard",
+                             "dot": "Dot"}.get(str(dist_attr), "L2")
+    return train, test, neighbors, distances, metric
 
 
 def synthesize(n, dim, nq=1000, k=100, metric="L2", normalized=False, seed=1234,
@@ -80,8 +89,7 @@ def main():
 
     from hnsw_tpu import Hnsw
     if args.hdf5:
-        X, Q, neighbors, gt_d = load_hdf5(args.hdf5)
-        metric = "L2"
+        X, Q, neighbors, gt_d, metric = load_hdf5(args.hdf5)
     else:
         n, dim, metric, normalized = DATASETS[args.dataset]
         n = args.n or min(n, 100_000)  # keep synthetic runs tractable by default
@@ -89,7 +97,7 @@ def main():
                                            normalized=normalized)
     if args.n:
         X = X[: args.n]
-    k = args.k
+    k = min(args.k, gt_d.shape[1])  # files carry a finite ground-truth depth
     kth = gt_d[:, k - 1]
     print(f"corpus {X.shape}, {len(Q)} queries, metric {metric}, backend {args.backend}")
 

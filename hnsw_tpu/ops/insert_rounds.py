@@ -610,7 +610,14 @@ def device_parallel_insert(hnsw, pairs, batch_size: Optional[int] = None,
         # Build-finalize navigability guarantee (see Hnsw.ensure_navigable):
         # on healthy graphs this is one confirming BFS; on clustered corpora it
         # is the difference between recall 0.50-at-any-ef and a working index.
+        import time as _time
+        _t0 = _time.time()
         repaired = hnsw.ensure_navigable()
+        hnsw._repair_stats = {"repairs": int(repaired),
+                              "seconds": round(_time.time() - _t0, 2),
+                              "layer0_width": int(hnsw._layers[0].width)
+                              if 0 in hnsw._layers else 0}
         if repaired:
             from ..utils.logging import init_logging
-            init_logging().info("navigability repair: %d links added", repaired)
+            init_logging().info("navigability repair: %d links added in %.1fs",
+                                repaired, hnsw._repair_stats["seconds"])
