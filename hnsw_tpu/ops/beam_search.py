@@ -134,6 +134,14 @@ def quantize_queries(q):
 # intermediates through HBM); off on CPU, where the jnp path is the exact oracle.
 USE_PALLAS_SCORES = True
 
+# Fused-kernel tuning (env-overridable for on-TPU sweeps): queries per grid
+# step and DMA prefetch depth. The kernel is bound by random-row HBM access
+# latency on large codec tables, so in-flight copies = FUSED_QT * E * FUSED_SLOTS
+# is the lever; measured v5e 1M/B=8192/E=4: qt=8/slots=2 -> 21 ms/iter.
+import os as _os
+FUSED_QT = int(_os.environ.get("HNSW_FUSED_QT", "8"))
+FUSED_SLOTS = int(_os.environ.get("HNSW_FUSED_SLOTS", "2"))
+
 
 def _pallas_scores_ok(B: int, d: int, M0: int = 8) -> bool:
     if not USE_PALLAS_SCORES:
@@ -188,8 +196,10 @@ def scores_codec(codec, q, src_c, qsq, qnorm, q_i8=None, q_i8_scale=None,
             # codec.blocks is stored [cap1, M0, d]: reshaping the captured
             # table in-program would copy all 6 GB (compile-time HBM OOM).
             from .pallas_scores import pallas_fused_codec_scores
+            qt = FUSED_QT if B % FUSED_QT == 0 else 8
             return pallas_fused_codec_scores(src_c, q, qsn, codec.scale,
-                                             codec.blocks, E, form=form, qt=8)
+                                             codec.blocks, E, form=form,
+                                             qt=qt, slots=FUSED_SLOTS)
         from .pallas_scores import pallas_codec_scores
         blk = codec.blocks[src_c]  # [B, E, M0, d]
         csq = codec.blocks_sq[src_c].reshape(B, K)

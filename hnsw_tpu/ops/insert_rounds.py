@@ -273,15 +273,24 @@ def _reverse_merge(tbl_ids, tbl_d, eq, esrc, ed, valid, width: int):
 
 # ------------------------------------------------------------------- round step ------
 
-def round_step(vectors, sqnorms, levels, tables, batch_ids, entry, *, cfg: RoundConfig):
+def round_step(vectors, sqnorms, levels, tables, batch_ids, entry,
+               vectors_lo=None, *, cfg: RoundConfig):
     """One synchronized insertion round. ``tables`` is a tuple of (ids, dists) per
-    layer; donated and returned updated."""
+    layer; donated and returned updated.
+
+    ``vectors_lo``: optional bfloat16 copy of ``vectors`` used ONLY for beam
+    traversal scoring (the [B, K, d] candidate gathers are the round's dominant
+    HBM traffic; bf16 halves it and the inner products run on the MXU with f32
+    accumulation). Neighbor *selection* (the diversity prune) and its pairwise
+    distances stay f32 — link-list contents shift only where bf16 rounding
+    (~0.4%) flips a near-tie in the beam's candidate ranking."""
     metric = cfg.metric
     cap1 = cfg.cap1
     sink = cap1 - 1
     L = cfg.num_layers
     ids_t = [t[0] for t in tables]
     d_t = [t[1] for t in tables]
+    vtrav = vectors_lo if vectors_lo is not None else vectors
     q = vectors[batch_ids]
     lv = levels[batch_ids]
     alive = lv >= 0
@@ -302,7 +311,7 @@ def round_step(vectors, sqnorms, levels, tables, batch_ids, entry, *, cfg: Round
     desc_tables = [ids_t[l] if (l < L and cfg.nonempty[l]) else None for l in range(L)]
     # greedy_min_descent skips layers >= len(layer_ids); feed only nonempty layers
     pivot, d0, _ = greedy_min_descent(
-        metric, vectors, sqnorms,
+        metric, vtrav, sqnorms,
         [t if t is not None else jnp.full((cap1, 1), -1, jnp.int32) for t in desc_tables],
         q, pivot, d0, top_layer=cfg.max_obs, stop_level=lv, record_hook=rec_hook)
     # projection links (reference src/hnsw.rs:1140-1148): the nearest point found at
@@ -323,7 +332,7 @@ def round_step(vectors, sqnorms, levels, tables, batch_ids, entry, *, cfg: Round
         if not cfg.nonempty[l] or B1 == 0:
             continue
         act_l = alive[:B1] & (lv[:B1] >= l)
-        cand_ids, cand_d = beam_search_layer(metric, vectors, sqnorms, ids_t[l],
+        cand_ids, cand_d = beam_search_layer(metric, vtrav, sqnorms, ids_t[l],
                                              q[:B1], pivot[:B1], d0[:B1],
                                              ef=cfg.efc, expand=cfg.expand,
                                              active=act_l)
@@ -340,7 +349,7 @@ def round_step(vectors, sqnorms, levels, tables, batch_ids, entry, *, cfg: Round
     sel0 = None
     if cfg.nonempty[0]:
         act0 = alive
-        cand_ids, cand_d = beam_search_layer(metric, vectors, sqnorms, ids_t[0], q,
+        cand_ids, cand_d = beam_search_layer(metric, vtrav, sqnorms, ids_t[0], q,
                                              pivot, d0, ef=cfg.efc, expand=cfg.expand,
                                              active=act0)
         nb_conn = cfg.widths[0]  # 2M at layer 0 (reference src/hnsw.rs:1177-1182)
@@ -588,6 +597,14 @@ def device_parallel_insert(hnsw, pairs, batch_size: Optional[int] = None,
     tables = tuple((jnp.asarray(i), jnp.asarray(d)) for i, d in st.tables_np())
     B = int(batch_size) if batch_size else int(min(4096, max(64, st.remaining)))
     metric = hnsw.metric.name
+    # bf16 traversal copy (see round_step): production-scale inner-product
+    # builds only — small builds keep exact f32 (unit-test determinism), and
+    # non-IP metrics have no MXU bf16 form. HNSW_BUILD_LO=0/1 overrides.
+    import os as _os
+    _lo_env = _os.environ.get("HNSW_BUILD_LO")
+    use_lo = (metric in ("L2", "DistL2", "Dot", "DistDot", "Cosine", "DistCosine")
+              and st.n_total >= 32768) if _lo_env is None else _lo_env == "1"
+    vectors_lo = vectors.astype(jnp.bfloat16) if use_lo else None
     while st.remaining:
         Br = st.ramp(B)
         max_obs, nonempty = st.entry_level, tuple(bool(c > 0) for c in st.counts)
@@ -601,7 +618,7 @@ def device_parallel_insert(hnsw, pairs, batch_size: Optional[int] = None,
                           keep_pruned=bool(hnsw.keep_pruned),
                           extend=bool(hnsw.extend_candidates), B1=B1)
         tables = _round_step(vectors, sqnorms, levels_j, tables, jnp.asarray(bidx),
-                             jnp.int32(entry), cfg=cfg)
+                             jnp.int32(entry), vectors_lo, cfg=cfg)
         if st.cursor % 50_000 < Br:  # reference prints every 50k (src/hnsw.rs:524-526)
             from ..utils.logging import init_logging
             init_logging().info("device insert: %d points indexed", st.cursor)

@@ -92,15 +92,23 @@ def pallas_codec_scores(q, blk, csq, qsq_or_norm, scale, form: str = "l2",
 
 def _fused_kernel(src_ref, scale_ref, q_ref, qsn_ref, blocks_ref, out_ref,
                   scratch, sems, *, E: int, M0: int, d: int, QT: int,
-                  form: str):
+                  form: str, SLOTS: int = 2):
     """Gather + dequant + dot + norms in ONE kernel: the expanded nodes' int8
     neighborhood blocks are DMA'd straight from the HBM codec table into a
-    double-buffered VMEM scratch (indices arrive via scalar prefetch), so the
+    multi-buffered VMEM scratch (indices arrive via scalar prefetch), so the
     blocks cross HBM once per iteration. The XLA-gather form writes the
     [B, E, M0*d] gather result to HBM and re-reads it in the score kernel —
     3x the traffic (measured on v5e, 1M codec, B=8192 E=4: 21 ms fused vs
     40 ms gather+kernel, bit-identical output). ``csq`` is recomputed from the
-    dequantized block in VMEM, eliminating the blocks_sq gather entirely."""
+    dequantized block in VMEM, eliminating the blocks_sq gather entirely.
+
+    ``SLOTS`` is the prefetch depth: grid step i consumes scratch slot
+    i % SLOTS and issues step i+SLOTS-1's row DMAs — the per-row HBM access
+    latency (not bandwidth: ~6 KB rows at random addresses) is what bounds
+    this kernel on large codec tables, so keeping SLOTS*QT*E row copies in
+    flight hides more of it than classic double buffering. A slot's next
+    overwrite is issued one full step after its compute consumed it, same
+    write-after-read spacing as the SLOTS=2 scheme."""
     i = pl.program_id(0)
     n = pl.num_programs(0)
     RE = QT * E
@@ -115,12 +123,16 @@ def _fused_kernel(src_ref, scale_ref, q_ref, qsn_ref, blocks_ref, out_ref,
     @pl.when(i == 0)
     def _():
         issue(0, 0)
+        for s in range(1, SLOTS - 1):  # static unroll of the pipeline fill
+            @pl.when(s < n)
+            def _(s=s):
+                issue(s, s)
 
-    @pl.when(i + 1 < n)
+    @pl.when(i + SLOTS - 1 < n)
     def _():
-        issue(i + 1, (i + 1) % 2)
+        issue(i + SLOTS - 1, (i + SLOTS - 1) % SLOTS)
 
-    slot = i % 2
+    slot = i % SLOTS
     for j in range(RE):
         idx = src_ref[i * RE + j]
         pltpu.make_async_copy(blocks_ref.at[idx], scratch.at[slot, j],
@@ -138,9 +150,10 @@ def _fused_kernel(src_ref, scale_ref, q_ref, qsn_ref, blocks_ref, out_ref,
         out_ref[:] = 1.0 - ip / jnp.maximum(qsn_ref[:], 1e-20)
 
 
-@partial(jax.jit, static_argnames=("E", "form", "qt"))
+@partial(jax.jit, static_argnames=("E", "form", "qt", "slots", "interpret"))
 def pallas_fused_codec_scores(src, q, qsn, scale, blocks3, E: int,
-                              form: str = "l2", qt: int = 8):
+                              form: str = "l2", qt: int = 8, slots: int = 2,
+                              interpret: bool = False):
     """Scores [B, E*M0] straight from (expanded-node ids, HBM codec table).
 
     Args:
@@ -151,10 +164,13 @@ def pallas_fused_codec_scores(src, q, qsn, scale, blocks3, E: int,
       scale: [] f32 dequantization multiplier.
       blocks3: [cap1, M0, d] int8 — the codec table, UNgathered (stays in HBM).
       E: expanded nodes per query (static).
+      qt: queries per grid step (qt*E row DMAs issued together).
+      slots: VMEM scratch buffers / prefetch depth (2 = double buffering).
     """
     B = q.shape[0]
     M0, d = blocks3.shape[1], blocks3.shape[2]
     RE = qt * E
+    slots = max(2, min(int(slots), max(2, B // qt)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B // qt,),
@@ -167,12 +183,13 @@ def pallas_fused_codec_scores(src, q, qsn, scale, blocks3, E: int,
         out_specs=pl.BlockSpec((qt, E * M0), lambda i, s: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, RE, M0, d), jnp.int8),
-            pltpu.SemaphoreType.DMA((2, RE)),
+            pltpu.VMEM((slots, RE, M0, d), jnp.int8),
+            pltpu.SemaphoreType.DMA((slots, RE)),
         ],
     )
     return pl.pallas_call(
-        partial(_fused_kernel, E=E, M0=M0, d=d, QT=qt, form=form),
+        partial(_fused_kernel, E=E, M0=M0, d=d, QT=qt, form=form, SLOTS=slots),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, E * M0), jnp.float32),
+        interpret=interpret,
     )(src.reshape(-1), scale.reshape(1, 1), q.astype(jnp.float32), qsn, blocks3)

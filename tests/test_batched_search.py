@@ -226,6 +226,36 @@ def test_pallas_codec_scores_kernel(rng):
                                atol=1e-4)
 
 
+def test_pallas_fused_scores_multislot(rng):
+    """The fused gather+score kernel's DMA pipeline depth (``slots``) must not
+    change results: slots 2/3/4 are bit-identical and match the fp32 oracle
+    (interpret mode — the scratch-rotation/write-after-read spacing logic is
+    what this guards, CPU-testable without a TPU)."""
+    import jax.numpy as jnp
+    from hnsw_tpu.ops.pallas_scores import pallas_fused_codec_scores
+
+    B, E, M0, d, N = 16, 2, 8, 128, 64
+    blocks = rng.integers(-5, 6, (N, M0, d)).astype(np.int8)
+    q = rng.standard_normal((B, d)).astype(np.float32)
+    qsn = (q * q).sum(-1, keepdims=True)
+    src = rng.integers(0, N, (B, E)).astype(np.int32)
+    scale = jnp.float32(0.1)
+    outs = {}
+    for slots in (2, 3, 4):
+        outs[slots] = np.array(pallas_fused_codec_scores(
+            jnp.asarray(src), jnp.asarray(q), jnp.asarray(qsn), scale,
+            jnp.asarray(blocks), E, form="l2", qt=4, slots=slots,
+            interpret=True))
+    np.testing.assert_array_equal(outs[2], outs[3])
+    np.testing.assert_array_equal(outs[2], outs[4])
+    bf = blocks[src].astype(np.float32).reshape(B, E * M0, d) * 0.1
+    ip = (bf * q[:, None, :]).sum(-1)
+    csq = (bf * bf).sum(-1)
+    np.testing.assert_allclose(outs[2],
+                               np.sqrt(np.maximum(qsn - 2 * ip + csq, 0)),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_pool_reservoir_large_k(rng):
     """The candidate pool decouples result width from beam width (VERDICT r2
     next #8): k=40 results served from a pool of 128 with a traversal beam of
