@@ -5,7 +5,7 @@ per Malkov & Yashunin 2016/2018). The reference's prelude re-exports (reference
 ``src/prelude.rs:1-11``) map to this module's public surface.
 """
 
-from .models.hnsw import Hnsw, Neighbour, NB_LAYER_MAX
+from .models.hnsw import Hnsw, Neighbour, PointIdWithOrder, NB_LAYER_MAX
 from .models.flatten import FlatPoint, FlatNeighborhood
 from .models.brute import BruteForceIndex
 from .models.auto import AutoIndex

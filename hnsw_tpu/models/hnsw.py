@@ -53,6 +53,23 @@ class Neighbour:
         return self.distance < other.distance
 
 
+@dataclasses.dataclass
+class PointIdWithOrder:
+    """A (layer, rank) PointId carrying a distance to an external reference
+    point — reference ``PointIdWithOrder`` (``src/hnsw.rs:59-92``): equality and
+    ordering are BY DISTANCE ONLY (the id is payload), the comparator contract
+    its brute-force test harness sorts candidate lists with."""
+
+    point_id: tuple[int, int]
+    dist_to_ref: float
+
+    def __eq__(self, other):
+        return self.dist_to_ref == other.dist_to_ref
+
+    def __lt__(self, other):
+        return self.dist_to_ref < other.dist_to_ref
+
+
 class _LayerTable:
     """Dense neighbor table for one layer: row per global point index."""
 
@@ -198,6 +215,21 @@ class Hnsw:
 
     def get_point_id(self, idx: int) -> tuple[int, int]:
         return (int(self._level[idx]), int(self._rank_in_layer[idx]))
+
+    def get_point_data(self, p_id: tuple[int, int]) -> Optional[np.ndarray]:
+        """Vector for a (layer, rank) PointId, or None when the id is not
+        coherent — reference ``get_point_data`` (``src/hnsw.rs:587-598``),
+        the random accessor used after reloading a dump. Returns a copy."""
+        layer, rank = int(p_id[0]), int(p_id[1])
+        if rank < 0 or layer > self.get_max_level_observed() \
+                or rank >= self.get_layer_nb_point(layer):
+            return None
+        n = self._nb_point
+        idx = np.flatnonzero((self._level[:n] == layer)
+                             & (self._rank_in_layer[:n] == rank))
+        if not len(idx):
+            return None
+        return np.array(self._data[int(idx[0])])
 
     def get_vector(self, idx: int) -> np.ndarray:
         return self._data[idx]

@@ -100,6 +100,30 @@ def test_iteration_and_layers(rng):
     assert hnsw.get_max_level_observed() == int(np.max(hnsw._level[:n]))
 
 
+def test_get_point_data_and_ordered_id(rng):
+    """get_point_data resolves (layer, rank) PointIds back to vectors
+    (reference src/hnsw.rs:587-598) and rejects incoherent ids;
+    PointIdWithOrder orders by distance only (src/hnsw.rs:59-92)."""
+    from hnsw_tpu import PointIdWithOrder
+
+    n = 64
+    X = rng.random((n, 8)).astype(np.float32)
+    hnsw = Hnsw(max_nb_connection=8, max_elements=n, ef_construction=40, dist="L2")
+    for i, v in enumerate(X):
+        hnsw.insert(v, i)
+    for idx in (0, 3, n - 1):
+        pid = hnsw.get_point_id(idx)
+        np.testing.assert_array_equal(hnsw.get_point_data(pid), X[idx])
+    assert hnsw.get_point_data((0, -1)) is None
+    assert hnsw.get_point_data((hnsw.get_max_level_observed() + 1, 0)) is None
+    assert hnsw.get_point_data((0, hnsw.get_layer_nb_point(0))) is None
+
+    a = PointIdWithOrder((0, 1), 0.5)
+    b = PointIdWithOrder((3, 7), 0.5)
+    c = PointIdWithOrder((0, 0), 1.5)
+    assert a == b and a < c and sorted([c, a])[0] is a
+
+
 def test_insert_tuple_style(rng):
     hnsw = Hnsw(max_nb_connection=8, max_elements=8, ef_construction=20)
     hnsw.insert((np.ones(4, np.float32), 7))
