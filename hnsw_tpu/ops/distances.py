@@ -213,6 +213,55 @@ def jnp_scores_jensenshannon(q, C):
     return jnp.sqrt(jnp.maximum(0.5 * (t1 + t2).sum(-1), 0.0))
 
 
+def jnp_scores_levenshtein(q, C):
+    """Batched edit distance [B,d] x [B,K,d] -> [B,K] — the device form of
+    ``np_levenshtein_pair`` (zero entries are padding and are stripped, same
+    contract; reference uses u16 code points, ``tests/filtertest.rs:59-65``).
+
+    The classic row DP carries a sequential inner loop
+    ``cur[j] = min(t[j], cur[j-1] + 1)`` that cannot vectorize. Unrolling it
+    gives ``cur[j] = min_{l<=j}(t[l] + (j - l)) = j + cummin(t[l] - l)[j]`` —
+    a cumulative min, which XLA lowers as a parallel associative scan. The
+    whole DP is then ``d`` ``lax.scan`` steps of elementwise [B,K,d] ops: no
+    data-dependent control flow, static shapes, fully batched over queries and
+    candidates. Variable effective lengths (la, lb) are handled by compacting
+    nonzeros to the front and reading the DP grid at row la (captured inside
+    the scan) and column lb (one final gather). Values stay exact in f32
+    (distances are integers <= 2d)."""
+    q = q.astype(jnp.float32)
+    C = C.astype(jnp.float32)
+    B, d = q.shape
+    K = C.shape[1]
+
+    def compact(x):  # nonzeros first, original order preserved (stable)
+        order = jnp.argsort(x == 0, axis=-1, stable=True)
+        return jnp.take_along_axis(x, order, axis=-1)
+
+    A = compact(q)
+    Cv = compact(C)
+    la = (q != 0).sum(-1).astype(jnp.float32)  # [B]
+    lb = (C != 0).sum(-1)  # [B,K] int
+    ar = jnp.arange(d + 1, dtype=jnp.float32)
+    prev0 = jnp.broadcast_to(ar, (B, K, d + 1))
+
+    def step(carry, xi):
+        prev, res = carry
+        i, a_i = xi  # row index (1..d) and the query symbol A[:, i-1]
+        sub = prev[..., :-1] + (Cv != a_i[:, None, None]).astype(jnp.float32)
+        t = jnp.minimum(sub, prev[..., 1:] + 1.0)
+        t_full = jnp.concatenate(
+            [jnp.broadcast_to(i, (B, K, 1)), t], axis=-1)  # j=0 costs i
+        cur = ar + jax.lax.cummin(t_full - ar, axis=2)
+        res = jnp.where((i == la)[:, None, None], cur, res)
+        return (cur, res), None
+
+    (_, res), _ = jax.lax.scan(
+        step, (prev0, prev0),
+        (jnp.arange(1, d + 1, dtype=jnp.float32), A.T))
+    return jnp.take_along_axis(res, lb[..., None].astype(jnp.int32),
+                               axis=-1)[..., 0]
+
+
 # matmul (MXU) forms: score(q, X) over a full table, [B,d] x [N,d] -> [B,N] -------------
 
 def jnp_matmul_scores_l2(q, X, x_sqnorms=None):
@@ -299,7 +348,7 @@ DISTANCES = {
     "Hellinger": _mk("Hellinger", np_hellinger, jnp_scores_hellinger),
     "Jeffreys": _mk("Jeffreys", np_jeffreys, jnp_scores_jeffreys),
     "JensenShannon": _mk("JensenShannon", np_jensenshannon, jnp_scores_jensenshannon),
-    "Levenshtein": _mk("Levenshtein", np_levenshtein),
+    "Levenshtein": _mk("Levenshtein", np_levenshtein, jnp_scores_levenshtein),
     "NoDist": _mk("NoDist", lambda q, X: np.zeros(np.asarray(X).shape[:-1] if np.asarray(q).ndim == 1 else (np.asarray(q).shape[0], np.asarray(X).shape[0]))),
 }
 

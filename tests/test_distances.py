@@ -71,6 +71,23 @@ def test_levenshtein():
     assert m.pair(a, b) == 3
 
 
+def test_levenshtein_device_kernel(rng):
+    """The batched device Levenshtein (cummin-decomposed row DP) equals the
+    host DP on padded u16 strings, including empty-after-stripping rows."""
+    import jax.numpy as jnp
+
+    B, K, d = 6, 9, 14
+    q = rng.integers(0, 5, (B, d)).astype(np.uint16)
+    C = rng.integers(0, 5, (B, K, d)).astype(np.uint16)
+    q[0] = 0  # empty query after zero-stripping
+    C[1, 3] = 0  # empty candidate
+    got = np.asarray(D.jnp_scores_levenshtein(
+        jnp.asarray(q.astype(np.float32)), jnp.asarray(C.astype(np.float32))))
+    want = np.array([[D.np_levenshtein_pair(q[b], C[b, k]) for k in range(K)]
+                     for b in range(B)])
+    np.testing.assert_array_equal(got, want)
+
+
 def test_batch_matches_pair(rng):
     q = rng.standard_normal((4, 16)).astype(np.float32)
     X = rng.standard_normal((32, 16)).astype(np.float32)
