@@ -15,6 +15,7 @@ from .api import AnnT
 from .io.hnswio import (HnswIo, ReloadOptions, Description, load_description,
                         file_dump, save_native, load_native)
 from .io.datamap import DataMap
+from .utils.profiling import enable_profiling, profiling_report, PROFILER
 from .ffi import NativeHnsw, init_native_log  # binds lazily; .so builds on first use
 from .parallel.sharded import ShardedHnsw
 from .utils.logging import init_logging

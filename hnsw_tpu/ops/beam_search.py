@@ -726,7 +726,10 @@ def device_search_stream(hnsw, queries: np.ndarray, knbn: int, ef: int,
         out_i[ws:we] = ids_h
         out_d[ws:we] = d_h
 
-    pipelined_stream(work, _upload, _dispatch, _fetch)
+    from ..utils.profiling import PROFILER
+    PROFILER.add("stream.queries", nq)
+    with PROFILER.span("search.stream"):
+        pipelined_stream(work, _upload, _dispatch, _fetch)
     return out_i, out_d
 
 

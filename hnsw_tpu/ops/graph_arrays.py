@@ -119,6 +119,13 @@ class BeamCodec:
         identically sliced layer table (``search_program`` does)."""
         if g.metric_name not in cls.SUPPORTED:
             raise ValueError(f"codec unsupported for metric {g.metric_name}")
+        from ..utils.profiling import PROFILER
+        with PROFILER.span("codec.build"):
+            return cls._build(g, kind, layer, width)
+
+    @classmethod
+    def _build(cls, g: "GraphArrays", kind: str, layer: int,
+               width: Optional[int]) -> "BeamCodec":
         tbl = g.layer_ids[layer]
         if width is not None and width < tbl.shape[1]:
             # round the cap up to 8 with REAL table columns so the codec's

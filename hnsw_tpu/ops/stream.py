@@ -24,6 +24,8 @@ from __future__ import annotations
 import queue
 import threading
 
+from ..utils.profiling import PROFILER
+
 
 def pipelined_stream(work, upload, dispatch, fetch, depth: int = 2):
     """Run ``fetch(item, dispatch(item, upload(item)))`` for every item of
@@ -44,7 +46,9 @@ def pipelined_stream(work, upload, dispatch, fetch, depth: int = 2):
             for it in work:
                 if errs:
                     break
-                staged.put((it, upload(it)))
+                with PROFILER.span("stream.upload"):
+                    dev = upload(it)
+                staged.put((it, dev))
         except BaseException as e:  # surface in the caller
             staged.put(e)
         staged.put(None)
@@ -57,7 +61,8 @@ def pipelined_stream(work, upload, dispatch, fetch, depth: int = 2):
             if errs:
                 continue  # keep draining so the dispatcher never blocks
             try:
-                fetch(*r)
+                with PROFILER.span("stream.fetch"):
+                    fetch(*r)
             except BaseException as e:
                 errs.append(e)
 
@@ -79,7 +84,9 @@ def pipelined_stream(work, upload, dispatch, fetch, depth: int = 2):
                 done_staging = False
                 break
             it, dev = item
-            results.put((it, dispatch(it, dev)))
+            with PROFILER.span("stream.dispatch"):
+                out = dispatch(it, dev)
+            results.put((it, out))
         results.put(None)
         ft.join()
         if errs:
