@@ -11,9 +11,29 @@ from __future__ import annotations
 
 import logging
 import os
+import sys
 import time
 
 _initialized = False
+
+
+class _DynStderrHandler(logging.StreamHandler):
+    """StreamHandler that resolves ``sys.stderr`` at EMIT time. A plain
+    StreamHandler captures the stderr object at init; long-lived processes
+    that swap stderr per task (the TPU job worker tees it into each job's
+    output file) otherwise keep logging into a stream that has since been
+    closed ("I/O operation on closed file" spam from the logging module)."""
+
+    def __init__(self):
+        super().__init__(stream=sys.stderr)
+
+    @property
+    def stream(self):
+        return sys.stderr
+
+    @stream.setter
+    def stream(self, value):  # base __init__/setStream assign it; ignore
+        pass
 
 
 def init_logging(level: str | None = None) -> logging.Logger:
@@ -25,7 +45,7 @@ def init_logging(level: str | None = None) -> logging.Logger:
     lvl = (level or os.environ.get("HNSW_TPU_LOG")
            or os.environ.get("RUST_LOG", "warning")).upper()
     lvl = {"TRACE": "DEBUG"}.get(lvl, lvl)
-    handler = logging.StreamHandler()
+    handler = _DynStderrHandler()
     handler.setFormatter(logging.Formatter(
         "[%(asctime)s %(levelname)s %(name)s] %(message)s", "%H:%M:%S"))
     logger.addHandler(handler)

@@ -28,9 +28,14 @@ Caveats (hard-won, see CLAUDE.md):
 import glob
 import io
 import os
+import signal
 import sys
 import time
 import traceback
+
+# nohup/background-shell launches leave SIGINT at SIG_IGN, which would make the
+# worker unstoppable by its documented "SIGINT while idle" protocol — restore it
+signal.signal(signal.SIGINT, signal.default_int_handler)
 
 QDIR = "/tmp/tpuq"
 DONE = os.path.join(QDIR, "done")
@@ -50,12 +55,21 @@ class _Tee:
 
     def write(self, x):
         for s in self.streams:
-            s.write(x)
-            s.flush()
+            try:
+                s.write(x)
+                s.flush()
+            except ValueError:
+                pass  # a late writer (leaked logging handler) hit a closed file
 
     def flush(self):
         for s in self.streams:
-            s.flush()
+            try:
+                s.flush()
+            except ValueError:
+                pass
+
+    def close(self):  # logging.shutdown may close a leaked handler's stream
+        pass
 
 
 def run_job(job: str) -> None:
@@ -63,6 +77,9 @@ def run_job(job: str) -> None:
     t0 = time.time()
     src = open(job).read()
     old_out, old_err = sys.stdout, sys.stderr
+    env_snapshot = dict(os.environ)  # jobs set os.environ freely; don't let it
+    # leak into later jobs (a leaked BENCH_DATASET=clustered once silently
+    # turned an intended-gaussian 1M bench into a clustered one)
     status = "FAIL"
     with open(out_path, "w") as out:
         sys.stdout = _Tee(out, old_out)
@@ -74,6 +91,8 @@ def run_job(job: str) -> None:
             traceback.print_exc()
         finally:
             sys.stdout, sys.stderr = old_out, old_err
+            os.environ.clear()
+            os.environ.update(env_snapshot)
             out.write(f"\n### {status} in {time.time() - t0:.1f}s\n")
     os.rename(job, os.path.join(DONE, os.path.basename(job)))
     print(f"tpu_worker: {job} -> {status} ({time.time() - t0:.1f}s)", flush=True)
