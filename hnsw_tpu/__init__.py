@@ -9,6 +9,7 @@ from .models.hnsw import Hnsw, Neighbour, PointIdWithOrder, NB_LAYER_MAX
 from .models.flatten import FlatPoint, FlatNeighborhood
 from .models.brute import BruteForceIndex
 from .models.auto import AutoIndex
+from .models.ivf import IvfFlatIndex
 from .ops.distances import DISTANCES, Metric, UserMetric, get_metric, l2_normalize
 from .filter import FilterT, SortedIdFilter, CallableFilter
 from .api import AnnT
@@ -24,7 +25,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "Hnsw", "Neighbour", "NB_LAYER_MAX", "FlatPoint", "FlatNeighborhood",
-    "BruteForceIndex", "AutoIndex", "NativeHnsw", "ShardedHnsw",
+    "BruteForceIndex", "AutoIndex", "IvfFlatIndex", "NativeHnsw", "ShardedHnsw",
     "DISTANCES", "Metric", "UserMetric", "get_metric", "l2_normalize",
     "FilterT", "SortedIdFilter", "CallableFilter", "AnnT",
     "HnswIo", "ReloadOptions", "Description", "load_description", "file_dump",

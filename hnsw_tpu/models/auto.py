@@ -28,6 +28,7 @@ import numpy as np
 
 from .brute import BruteForceIndex
 from .hnsw import Hnsw
+from .ivf import IvfFlatIndex, clusteredness
 from ..ops.distances import get_metric
 
 
@@ -40,6 +41,10 @@ class AutoIndex:
         structurally required (the Pallas scan path is L2; other metrics use
         the graph unless the corpus is small enough for the XLA matmul scan);
       * d >= ``HIGH_D``: exact scan (graph gathers scale with d);
+      * clustered corpora (sampled k-means quantization gain >=
+        ``IVF_CLUSTEREDNESS``, inner-product metrics): IVF-Flat — graph
+        traversal is structurally weak there (flat recall-vs-ef curve,
+        measured 0.85 ceiling at ef=512 on the clustered gate vs IVF 0.99);
       * recall_target >= 0.99 and N*d <= ``SCAN_BUDGET``: exact scan (recall
         1.0 at rates the graph cannot reach at that recall);
       * otherwise: HNSW graph.
@@ -48,11 +53,14 @@ class AutoIndex:
     SCAN_MIN = 32_768       # below this even non-L2 metrics scan exactly
     HIGH_D = 512            # measured: 70k x 784 scan 14.3k vs graph 4.9k
     SCAN_BUDGET = 5.0e8     # N*d where the 42k-QPS 1M x 128 scan sits at ~3.8e8
+    IVF_CLUSTEREDNESS = 0.65  # sampled quantization gain; gauss-16 ~0.4,
+    # the clustered gate ~0.8+ (see models/ivf.clusteredness)
 
     def __init__(self, dist="L2", recall_target: float = 0.98,
                  engine: Optional[str] = None, **hnsw_kwargs):
-        if engine not in (None, "hnsw", "scan"):
-            raise ValueError(f"engine must be 'hnsw' | 'scan' | None, got {engine!r}")
+        if engine not in (None, "hnsw", "scan", "ivf"):
+            raise ValueError(f"engine must be 'hnsw' | 'scan' | 'ivf' | None, "
+                             f"got {engine!r}")
         self.metric = get_metric(dist)
         self.recall_target = float(recall_target)
         self._forced = engine
@@ -93,9 +101,22 @@ class AutoIndex:
         if n < self.SCAN_MIN:
             return "scan"
         if not l2:
+            if self.metric.name in ("Dot", "DistDot", "Cosine", "DistCosine"):
+                X = np.stack(self._buf_v[: 8192])
+                if clusteredness(X) >= self.IVF_CLUSTEREDNESS:
+                    return "ivf"  # graph is structurally weak on clustered
+                    # and the Pallas scan tier is L2-only
             return "hnsw"  # large non-L2: the Pallas scan path is L2-only
         if d >= self.HIGH_D:
             return "scan"
+        X = np.stack(self._buf_v[: 8192])
+        if clusteredness(X) >= self.IVF_CLUSTEREDNESS:
+            # Clustered L2 regime, measured at the 200k gate: exact scan
+            # 31.3k QPS @ 0.9938 beats both the graph (flat 0.85 recall
+            # ceiling at ef=512 — structural, not under-explored) and IVF
+            # (10.4k @ 0.9856 at nprobe=32). IVF takes over only past the
+            # scan's O(N*d) budget, where sqrt(N)-scaling wins by default.
+            return "scan" if n * d <= self.SCAN_BUDGET else "ivf"
         if self.recall_target >= 0.99 and n * d <= self.SCAN_BUDGET:
             return "scan"
         return "hnsw"
@@ -110,6 +131,11 @@ class AutoIndex:
             eng = BruteForceIndex(dist=self.metric.name)
             if pairs:
                 eng.parallel_insert(pairs)
+        elif kind == "ivf":
+            eng = IvfFlatIndex(dist=self.metric.name)
+            if pairs:
+                eng.parallel_insert(pairs)
+            eng.build()
         else:
             n = max(len(pairs), 1)
             kw = dict(self._hnsw_kwargs)
@@ -127,7 +153,10 @@ class AutoIndex:
 
     @property
     def engine_name(self) -> str:
-        return "scan" if isinstance(self.engine, BruteForceIndex) else "hnsw"
+        eng = self.engine
+        if isinstance(eng, BruteForceIndex):
+            return "scan"
+        return "ivf" if isinstance(eng, IvfFlatIndex) else "hnsw"
 
     # ------------------------------------------------------------- search ----
     def search(self, data, knbn: int, ef: int = 0, filter=None):

@@ -1,0 +1,157 @@
+"""IVF-Flat engine (models/ivf.py): correctness vs the exact oracle, balanced
+packing invariants, the nprobe=C exactness identity, filters, persistence, and
+AutoIndex routing of clustered corpora. CPU (conftest forces the virtual CPU
+mesh); the same jnp programs run on TPU."""
+
+import numpy as np
+import pytest
+
+from hnsw_tpu import BruteForceIndex, IvfFlatIndex, AutoIndex
+from hnsw_tpu.models.ivf import clusteredness
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0xC0FFEE)
+
+
+def _clustered(rng, n, d=32, C=12, spread=0.05):
+    cent = rng.standard_normal((C, d)).astype(np.float32)
+    a = rng.integers(0, C, n)
+    X = cent[a] + spread * rng.standard_normal((n, d)).astype(np.float32)
+    return X.astype(np.float32)
+
+
+def _recall(got, want):
+    hits = sum(len(set(g) & set(w)) for g, w in zip(got, want))
+    return hits / want.size
+
+
+def test_ivf_exact_when_nprobe_is_C(rng):
+    """Probing every list must equal brute force exactly (same overfetch+refine
+    contract): the packed layout and refine lose nothing."""
+    X = _clustered(rng, 600)
+    Q = _clustered(rng, 16)
+    ix = IvfFlatIndex(n_clusters=8)
+    ix.parallel_insert([(X[i], i) for i in range(len(X))])
+    bf = BruteForceIndex()
+    bf.parallel_insert([(X[i], i) for i in range(len(X))])
+    gi, gd = ix.search_batch(Q, 5, nprobe=ix.n_lists)
+    wi, wd = bf.search_batch(Q, 5)
+    assert _recall(gi, wi) == 1.0
+    np.testing.assert_allclose(gd, wd, rtol=1e-5, atol=1e-5)
+
+
+def test_ivf_recall_on_clustered(rng):
+    """Small nprobe already serves high recall on clustered data — the regime
+    the graph engine measurably cannot handle (flat 0.85 ceiling at ef=512 on
+    the 200k clustered gate)."""
+    X = _clustered(rng, 4000, C=16)
+    Q = _clustered(rng, 64, C=16)
+    ix = IvfFlatIndex(n_clusters=32, nprobe=4)
+    ix.parallel_insert([(X[i], i) for i in range(len(X))])
+    bf = BruteForceIndex()
+    bf.parallel_insert([(X[i], i) for i in range(len(X))])
+    gi, _ = ix.search_batch(Q, 10)
+    wi, _ = bf.search_batch(Q, 10)
+    assert _recall(gi, wi) >= 0.95
+
+
+def test_ivf_packing_invariants(rng):
+    """Every point lands in exactly one list; no list exceeds the balance cap;
+    heavy-tailed cluster sizes spill instead of exploding one slab."""
+    X = np.concatenate([_clustered(rng, 1900, C=1),  # one huge cluster
+                        _clustered(rng, 100, C=6)])
+    ix = IvfFlatIndex(n_clusters=16)
+    ix.parallel_insert([(X[i], i) for i in range(len(X))])
+    ix.build()
+    row2idx, cap = ix._built[5], ix._built[6]
+    live = row2idx[row2idx >= 0]
+    assert len(live) == len(X)
+    assert len(np.unique(live)) == len(X)  # exactly-once
+    C = ix.n_lists
+    sizes = (row2idx.reshape(C, cap) >= 0).sum(1)
+    assert sizes.max() <= cap
+
+
+def test_ivf_array_ingest_and_ids(rng):
+    """Bulk (X, ids) array ingest; 64-bit origin ids survive."""
+    X = _clustered(rng, 500)
+    ids = np.arange(500, dtype=np.int64) + (1 << 40)
+    ix = IvfFlatIndex(n_clusters=8)
+    ix.parallel_insert((X, ids))
+    gi, _ = ix.search_batch(X[:8], 1, nprobe=8)
+    assert (gi[:, 0] == ids[:8]).mean() >= 0.9  # near-duplicates may tie
+
+
+def test_ivf_filter(rng):
+    """Filtered search: results obey the allow-list, distances stay sorted."""
+    X = _clustered(rng, 800)
+    ix = IvfFlatIndex(n_clusters=8, nprobe=8)
+    ix.parallel_insert([(X[i], i) for i in range(len(X))])
+    allow = set(range(0, 800, 3))
+    ids, d = ix.search_batch(X[:16], 5, filter=sorted(allow))
+    for b in range(16):
+        got = [i for i in ids[b] if i >= 0]
+        assert got and all(i in allow for i in got)
+        fin = d[b][np.isfinite(d[b])]
+        assert (np.diff(fin) >= -1e-6).all()
+
+
+def test_ivf_save_load_roundtrip(rng, tmp_path):
+    X = _clustered(rng, 700)
+    ix = IvfFlatIndex(n_clusters=8, nprobe=3)
+    ix.parallel_insert([(X[i], i) for i in range(len(X))])
+    p = str(tmp_path / "ivf.npz")
+    ix.save_native(p)
+    ix2 = IvfFlatIndex.load_native(p)
+    gi, gd = ix.search_batch(X[:12], 5)
+    li, ld = ix2.search_batch(X[:12], 5)
+    np.testing.assert_array_equal(gi, li)  # seeded k-means: deterministic
+    np.testing.assert_allclose(gd, ld, rtol=1e-6)
+
+
+def test_ivf_search_stream_matches_batch(rng):
+    """The pipelined f16-ingest serving stream returns the same neighbors as
+    the synchronous path (f16 ingest may flip exact ties; compare by recall)."""
+    X = _clustered(rng, 1200, C=10)
+    Q = _clustered(rng, 70, C=10)
+    ix = IvfFlatIndex(n_clusters=12, nprobe=4)
+    ix.parallel_insert((X, np.arange(1200, dtype=np.int64)))
+    si, sd = ix.search_batch(Q, 5)
+    ti, td = ix.search_stream(Q, 5, batch=32)  # ragged tail batch on purpose
+    assert _recall(ti, si) >= 0.95
+    f32i, _ = ix.search_stream(Q, 5, batch=64, query_dtype=None)
+    np.testing.assert_array_equal(f32i, si)
+
+
+def test_clusteredness_statistic_separates(rng):
+    """The AutoIndex routing statistic: low for the gaussian regime, high for
+    the clustered gate's mixture."""
+    d = 64
+    A = rng.standard_normal((16, d)).astype(np.float32) / 4.0
+    gauss = rng.standard_normal((4000, 16)).astype(np.float32) @ A
+    clus = _clustered(rng, 4000, d=d, C=12)
+    lo = clusteredness(gauss, sample=2000)
+    hi = clusteredness(clus, sample=2000)
+    assert lo < AutoIndex.IVF_CLUSTEREDNESS < hi, (lo, hi)
+
+
+def test_auto_routes_clustered_to_ivf(rng):
+    """AutoIndex picks IVF for a clustered corpus above SCAN_MIN; forcing
+    engine='ivf' works; the facade search surface delegates."""
+    a = AutoIndex(engine="ivf")
+    X = _clustered(rng, 900, C=6)
+    a.parallel_insert([(X[i], i) for i in range(len(X))])
+    assert a.engine_name == "ivf"
+    res = a.parallel_search(X[:4], 3)
+    assert len(res) == 4 and res[0][0].d_id == 0
+    # auto rule: clustered L2 routes to the scan inside the O(N*d) budget and
+    # to IVF beyond it (shrink the thresholds so 600 points exercise both)
+    b = AutoIndex()
+    b.SCAN_MIN = 512
+    Y = _clustered(rng, 600, C=6)
+    b.parallel_insert([(Y[i], i) for i in range(len(Y))])
+    assert b.choose_engine() == "scan"
+    b.SCAN_BUDGET = 100
+    assert b.choose_engine() == "ivf"
