@@ -287,7 +287,9 @@ def main():
         h = Hnsw(max_nb_connection=M, max_elements=N, ef_construction=efc, dist="L2")
         h.set_keeping_pruned(True)
         h.modify_level_scale(scale)
-        h.parallel_insert(X, mode="device", batch_size=BB)  # bulk array ingest
+        bmi = os.environ.get("BENCH_BUILD_MAXITERS")  # construction-beam iter cap
+        h.parallel_insert(X, mode="device", batch_size=BB,  # bulk array ingest
+                          build_max_iters=int(bmi) if bmi else None)
     build_s = time.time() - t0
     log(f"[bench] build done in {build_s:.1f}s ({N / build_s:.0f} pts/s)")
     if os.environ.get("BENCH_SAVE"):

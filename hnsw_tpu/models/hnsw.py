@@ -566,7 +566,8 @@ class Hnsw:
     # ---------------------------------------------------- batched / parallel paths ---
 
     def parallel_insert(self, data_with_ids: Sequence[tuple], mode: str = "auto",
-                        batch_size: Optional[int] = None):
+                        batch_size: Optional[int] = None,
+                        build_max_iters: Optional[int] = None):
         """Batched insertion — capability analog of reference ``parallel_insert``
         (``src/hnsw.rs:1224-1238``). ``mode="device"`` runs synchronized batched
         rounds on the accelerator (intra-round points don't see each other — the same
@@ -600,7 +601,8 @@ class Hnsw:
                     self.insert(X[j], int(ids[j]))
                 return
             from ..ops.insert_rounds import device_parallel_insert
-            device_parallel_insert(self, (X, ids), batch_size=batch_size)
+            device_parallel_insert(self, (X, ids), batch_size=batch_size,
+                                   build_max_iters=build_max_iters)
             return
         pairs = [(np.asarray(v, dtype=self.dtype), int(i)) for v, i in data_with_ids]
         if mode == "auto":
@@ -612,7 +614,8 @@ class Hnsw:
                 self.insert(v, i)
             return
         from ..ops.insert_rounds import device_parallel_insert
-        device_parallel_insert(self, pairs, batch_size=batch_size)
+        device_parallel_insert(self, pairs, batch_size=batch_size,
+                               build_max_iters=build_max_iters)
 
     def parallel_insert_slice(self, data_with_ids, **kw):
         self.parallel_insert(data_with_ids, **kw)

@@ -71,6 +71,12 @@ class RoundConfig:
     # occupy a small static prefix instead of dragging full-width beams through
     # every upper layer. B1 == 0 skips upper construction entirely.
     B1: int = 0
+    # construction-beam iteration cap (None = beam_search_layer's generous
+    # default, (4*efc)//expand + 32). The round's while_loop runs until EVERY
+    # point's beam terminates — one straggler in a 4096-point round drags all
+    # of it, so a tuned cap trades the stragglers' last candidates for round
+    # wall-clock. Set via device_parallel_insert(build_max_iters=...).
+    max_iters: Optional[int] = None
 
 
 # ----------------------------------------------------------- neighbor selection ------
@@ -351,7 +357,8 @@ def round_step(vectors, sqnorms, levels, tables, batch_ids, entry,
         cand_ids, cand_d = beam_search_layer(metric, vtrav, sqnorms, ids_t[l],
                                              q[:B1], pivot[:B1], d0[:B1],
                                              ef=cfg.efc, expand=cfg.expand,
-                                             active=act_l)
+                                             active=act_l,
+                                             max_iters=cfg.max_iters)
         cand_ids, cand_d = rescore_exact(q[:B1], cand_ids, cand_d)
         nb_conn = cfg.widths[l]
         sel_ids, sel_d = select_neighbours_batched(metric, vectors, sqnorms, cand_ids,
@@ -368,7 +375,7 @@ def round_step(vectors, sqnorms, levels, tables, batch_ids, entry,
         act0 = alive
         cand_ids, cand_d = beam_search_layer(metric, vtrav, sqnorms, ids_t[0], q,
                                              pivot, d0, ef=cfg.efc, expand=cfg.expand,
-                                             active=act0)
+                                             active=act0, max_iters=cfg.max_iters)
         cand_ids, cand_d = rescore_exact(q, cand_ids, cand_d)
         nb_conn = cfg.widths[0]  # 2M at layer 0 (reference src/hnsw.rs:1177-1182)
         if cfg.extend:  # reference applies extension at layer 0 only (src/hnsw.rs:1176-1183)
@@ -585,7 +592,7 @@ class HostBuildState:
 
 
 def device_parallel_insert(hnsw, pairs, batch_size: Optional[int] = None,
-                           expand: int = 8):
+                           expand: int = 8, build_max_iters: Optional[int] = None):
     """Build/extend an index with synchronized device rounds. Mutates ``hnsw`` in
     place (host arrays are refreshed from the device tables at the end).
     ``pairs`` is either a list of ``(vector, id)`` tuples or an ``(X, ids)``
@@ -636,7 +643,8 @@ def device_parallel_insert(hnsw, pairs, batch_size: Optional[int] = None,
                           metric=metric, expand=int(expand), max_obs=max_obs,
                           nonempty=nonempty,
                           keep_pruned=bool(hnsw.keep_pruned),
-                          extend=bool(hnsw.extend_candidates), B1=B1)
+                          extend=bool(hnsw.extend_candidates), B1=B1,
+                          max_iters=build_max_iters)
         with PROFILER.span("build.round"):
             tables = _round_step(vectors, sqnorms, levels_j, tables,
                                  jnp.asarray(bidx), jnp.int32(entry),

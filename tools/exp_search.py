@@ -85,7 +85,7 @@ def main():
         return hits / (NQ_GT * k)
 
     BLOCKS = int(os.environ.get("EXP_BLOCKS", 5))
-    # spec: ef,expand,max_iters(0=default),seeds,qbatch[,pool(0=None)]
+    # spec: ef,expand,max_iters(0=default),seeds,qbatch[,pool(0=None)[,width(0=None)]]
     grid = os.environ.get(
         "EXP_GRID",
         "80,4,0,4,16384;80,4,18,4,16384;80,4,14,4,16384;64,4,0,4,16384;"
@@ -95,6 +95,10 @@ def main():
         parts = [int(x) for x in spec.split(",")]
         ef, expand, mi, seeds, qb = parts[:5]
         pool = parts[5] if len(parts) > 5 and parts[5] > 0 else None
+        width = parts[6] if len(parts) > 6 and parts[6] > 0 else None
+        if getattr(h, "_codec_width", None) != width:
+            h._codec_width = width  # width-capped traversal codec
+            h._codec_cache = None   # cache is version-keyed; width isn't in it
         max_iters = mi if mi > 0 else None
         ids, _ = device_search_stream(h, Q[:NQ_GT], k, ef, batch=min(qb, NQ_GT),
                                       expand=expand, max_iters=max_iters,
@@ -136,8 +140,9 @@ def main():
         np.array(outs[-1][0])
         kqps = 4 * qb / (time.time() - t0)
         row = dict(ef=ef, expand=expand, max_iters=mi_eff, seeds=seeds, qb=qb,
-                   pool=pool, recall=round(rec, 4), qps=round(qps, 1),
-                   spread=round(spread, 3), kernel_qps=round(kqps, 1))
+                   pool=pool, width=width, recall=round(rec, 4),
+                   qps=round(qps, 1), spread=round(spread, 3),
+                   kernel_qps=round(kqps, 1))
         results.append(row)
         log("[exp]", json.dumps(row))
     print(json.dumps(results))
