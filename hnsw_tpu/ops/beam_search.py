@@ -10,8 +10,8 @@ with heaps and a visited HashMap, a *batch* of queries advances in lock-step:
     2. their neighbor rows are gathered from the dense layer table           (HBM)
     3. candidate vectors are gathered and scored against the query           (VPU/MXU)
     4. beam ∪ candidates is re-sorted and truncated to ``ef``                (VPU)
-    5. revisits are suppressed scatter-free INSIDE the merge (id-keyed dedup
-       sort + an expanded?-flag carried through it — see beam_search_layer)
+    5. revisits are suppressed scatter-free (beam membership + expansion-history
+       ring + intra-step dup masks — see beam_search_layer)
 
 Termination matches the reference's early-exit rule (nearest unexpanded candidate
 farther than the worst kept result once the beam is full, ``src/hnsw.rs:981-1002``),
@@ -104,61 +104,19 @@ def _dedup_pairs(ids, dd):
     return si2, sd2
 
 
-def _merge_beam_dedup(beam_ids, beam_d, new_ids, new_d, ef: int):
-    """(beam ∪ candidates) -> best ef, ascending, DUPLICATE-FREE.
+def _merge_beam(beam_ids, beam_d, new_ids, new_d, ef: int):
+    """(beam ∪ candidates) -> best ef, ascending — EXACT, via a key-value sort.
 
-    Sort-pair merges (ids carried through ``lax.sort`` as an operand) measured
-    ~1.6x faster than ``lax.approx_max_k`` + index recovery on v5e at
-    [4096, 256] AND exact. Dedup rides the merge itself instead of
-    O(K*ef + K*H + K^2) membership masks (see beam_search_layer): an
-    id-primary 2-key sort makes every copy of an id adjacent (ascending
-    distance within the run), repeats mask to INF, and the distance re-sort
-    compacts survivors. Two [B, ef+K] pair sorts total — at expand=8 the
-    masks this replaces cost ~2.5e9 VPU compares per iteration, which is what
-    made big-expand lose to expand=4 pre-change (round-2 note: "O(K^2) masks
-    scale with K").
-
-    Correctness relies on the beam's worst kept distance being monotonically
-    NONINCREASING across iterations: an entry evicted by the ef-truncation
-    can never re-enter (its distance already exceeded the worst), so dedup
-    only ever has to collapse copies present in this merge — exactly what
-    id-adjacency does. Copies of an id carry identical distance bits (same
-    query, same stored row, same reduction order), and the 2-key sort does
-    not even need that: the nearest copy survives either way."""
+    ``lax.sort`` with the ids as a carried operand sorts both arrays in one pass
+    and needs no index recovery. Measured on v5e at [4096, 256]: the sort itself
+    costs ~the same as ``lax.approx_max_k``'s PartialReduce, but the approx path
+    must also ``take_along_axis`` the ids through the returned order — an
+    intra-row gather worth ~2.5 ms — making sort-pairs ~1.6x faster AND exact
+    (the earlier approx merge traded recall determinism for nothing)."""
     cat_ids = jnp.concatenate([beam_ids, new_ids], axis=1)
     cat_d = jnp.concatenate([beam_d, new_d], axis=1)
-    B = cat_ids.shape[0]
-    si, sd = lax.sort((cat_ids, cat_d), dimension=1, num_keys=2)
-    dup = jnp.concatenate([jnp.zeros((B, 1), bool), si[:, 1:] == si[:, :-1]],
-                          axis=1) | (si < 0)
-    sd = jnp.where(dup, INF, sd)
-    si = jnp.where(dup, -1, si)
-    sd2, si2 = lax.sort((sd, si), dimension=1, num_keys=1)
-    return si2[:, :ef], sd2[:, :ef]
-
-
-def _merge_beam_flags(beam_ids, beam_d, beam_exp, new_ids, new_d, ef: int):
-    """Dedup merge for the TRAVERSAL beam: like ``_merge_beam_dedup`` but an
-    expanded?-flag travels through both sorts as a carried operand, replacing
-    the expansion-history ring wholesale (no [B, ef, H] membership compare, no
-    ring aging — a node's expanded bit lives exactly as long as the node does).
-    The id-sort's third key orders the EXPANDED copy of an (id, dist) tie
-    first, so when a still-in-beam expanded node is re-encountered as a
-    candidate, the surviving copy keeps its expanded bit."""
-    cat_ids = jnp.concatenate([beam_ids, new_ids], axis=1)
-    cat_d = jnp.concatenate([beam_d, new_d], axis=1)
-    cat_ne = jnp.concatenate(  # 0 = expanded (sorts first on ties)
-        [jnp.where(beam_exp, 0, 1).astype(jnp.int32),
-         jnp.ones(new_ids.shape, jnp.int32)], axis=1)
-    B = cat_ids.shape[0]
-    si, sd, sn = lax.sort((cat_ids, cat_d, cat_ne), dimension=1, num_keys=3)
-    dup = jnp.concatenate([jnp.zeros((B, 1), bool), si[:, 1:] == si[:, :-1]],
-                          axis=1) | (si < 0)
-    sd = jnp.where(dup, INF, sd)
-    si = jnp.where(dup, -1, si)
-    sn = jnp.where(dup, 1, sn)
-    sd2, si2, sn2 = lax.sort((sd, si, sn), dimension=1, num_keys=1)
-    return si2[:, :ef], sd2[:, :ef], sn2[:, :ef] == 0
+    sd, si = lax.sort((cat_d, cat_ids), dimension=1, num_keys=1)
+    return si[:, :ef], sd[:, :ef]
 
 
 def quantize_queries(q):
@@ -288,18 +246,17 @@ def beam_search_layer(metric_name: str, vectors, sqnorms, tbl_ids, q, start_ids,
 
     The reference's per-query visited HashMap (``src/hnsw.rs:956-958``) has no cheap
     array analog: XLA scatter serializes on TPU (measured ~4 ms/iter just to flag
-    expanded beam entries at B=4096). Instead, ALL bookkeeping rides the merge:
+    expanded beam entries at B=4096). Instead, ALL bookkeeping is pure comparisons:
 
-      * expanded flags are a [B, ef] bool carried THROUGH the merge sort as an
-        extra operand (``_merge_beam_flags``) — no visited set, no history ring
-      * revisit suppression is the merge's id-keyed dedup plus monotonicity:
-        the worst kept distance never increases, so an entry evicted by the
-        ef-truncation can never re-enter, and copies present in one merge
-        collapse to the (expanded-preferring) first
+      * expanded flags = beam membership in an expansion-history ring ``hist [B,H]``
+        (appended with ``dynamic_update_slice``, never scattered)
+      * revisit suppression = membership vs the beam, vs ``hist``, and an intra-step
+        duplicate mask
 
-    A node admitted then evicted can be re-scored when re-encountered (it costs
-    a candidate slot, never a beam slot) — which distances are reachable is
-    unaffected, so recall semantics match the reference's visited-set up to
+    A node expanded and later aged out of the ring is re-expanded once (it re-enters
+    the most recent ring slot; one wasted iteration, bounded by ``max_iters``); a
+    node admitted then evicted can be re-scored — neither affects which distances
+    are reachable, so recall semantics match the reference's visited-set up to
     extra work.
 
     Args:
@@ -329,6 +286,8 @@ def beam_search_layer(metric_name: str, vectors, sqnorms, tbl_ids, q, start_ids,
     K = E * M
     if max_iters is None:
         max_iters = max(16, (4 * ef) // E + 32)
+    n_slots = min(int(max_iters), (2 * ef) // E + 16)
+    H = E * max(n_slots, 1)
 
     if active is None:
         active = jnp.ones((B,), dtype=bool)
@@ -363,8 +322,10 @@ def beam_search_layer(metric_name: str, vectors, sqnorms, tbl_ids, q, start_ids,
             axis=1)
     else:
         pool_ids = pool_d = None
-    beam_exp0 = jnp.zeros((B, ef), bool)  # expanded? flag per beam slot
+    hist = jnp.full((B, H), -2, jnp.int32)  # -2: never matches a real id or -1 pad
     done = ~start_ok.any(axis=1)
+    tri = (jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
+           < jax.lax.broadcasted_iota(jnp.int32, (K, K), 0))  # tri[k, j] = j < k
     qsq = (q.astype(jnp.float32) ** 2).sum(-1)[:, None]
     qnorm = jnp.sqrt(jnp.maximum(qsq, 1e-20))
     if codec is not None and codec.blocks.dtype == jnp.int8:
@@ -383,10 +344,10 @@ def beam_search_layer(metric_name: str, vectors, sqnorms, tbl_ids, q, start_ids,
         return (it < max_iters) & ~jnp.all(done)
 
     def body(state):
-        it, done, beam_ids, beam_d, beam_exp, res_ids, res_d, pool_ids, pool_d = state
-        # 1. pick the E nearest unexpanded beam entries per query (the
-        #    expanded? bit rides the beam through the merge — no history ring,
-        #    no membership compare, no scatter)
+        it, done, beam_ids, beam_d, res_ids, res_d, pool_ids, pool_d, hist = state
+        # 1. pick the E nearest unexpanded beam entries per query (expanded ==
+        #    present in the history ring — no flag array, no scatter)
+        beam_exp = (beam_ids[:, :, None] == hist[:, None, :]).any(-1)
         cand_d = jnp.where(beam_exp | (beam_ids < 0), INF, beam_d)
         neg_sel, pos = lax.top_k(-cand_d, E)  # [B,E]
         sel_d = -neg_sel
@@ -403,22 +364,21 @@ def beam_search_layer(metric_name: str, vectors, sqnorms, tbl_ids, q, start_ids,
                                INF)
         step_done = done | (nearest_d == INF) | (nearest_d > thresh)
         act = ~step_done
-        # 2. flag them expanded, gather their neighbor rows
+        # 2. log them in the history ring, gather their neighbor rows
         sel_ok = act[:, None] & (sel_d < INF)
         src = jnp.take_along_axis(beam_ids, pos, axis=1)  # [B,E]
-        hit = ((lax.broadcasted_iota(jnp.int32, (B, E, ef), 2) == pos[:, :, None])
-               & sel_ok[:, :, None]).any(1)  # [B, ef] slots expanded this step
-        beam_exp = beam_exp | hit
+        hist = lax.dynamic_update_slice(
+            hist, jnp.where(sel_ok, src, -2), (jnp.int32(0), (it % n_slots) * E))
         src_c = jnp.clip(src, 0, cap1 - 1)
         nbr = tbl_ids[src_c].reshape(B, K)
         valid = jnp.repeat(sel_ok, M, axis=1) & (nbr >= 0)
-        # 3. revisit suppression lives in the MERGE (_merge_beam_dedup), not in
-        #    membership masks. The former in_beam [B,K,ef] / in_hist [B,K,H] /
-        #    intra-step dup [B,K,K] compares cost O(K^2) VPU work per iteration
-        #    (~2.5e9 bool ops at expand=8) and could only INF-mask scores — the
-        #    K gather/score slots are spent either way. Monotonicity of the
-        #    beam's worst kept distance means an EVICTED node can never
-        #    re-enter, so collapsing copies at merge time is exhaustive.
+        # 3. revisit suppression by comparison (no scatter):
+        #    beam membership, history membership, intra-step duplicates
+        in_beam = (nbr[:, :, None] == beam_ids[:, None, :]).any(-1)
+        in_hist = (nbr[:, :, None] == hist[:, None, :]).any(-1)
+        eq = (nbr[:, :, None] == nbr[:, None, :]) & valid[:, None, :]
+        dup = (eq & tri[None]).any(-1)
+        valid = valid & ~in_beam & ~in_hist & ~dup
         nbr_c = jnp.where(valid, nbr, cap1 - 1)
         # 4. score candidates: blocked quantized store (one row per expanded node)
         #    or the exact f32 row gather
@@ -430,34 +390,31 @@ def beam_search_layer(metric_name: str, vectors, sqnorms, tbl_ids, q, start_ids,
             sc = scores_gathered(metric_name, q, cvecs, sqnorms[nbr_c])
         sc = jnp.where(valid, sc, INF)
         new_ids = jnp.where(valid, nbr, -1)
-        # 5. merge into beams (dedup merges — see step-3 note)
-        beam_ids, beam_d, beam_exp = _merge_beam_flags(beam_ids, beam_d,
-                                                       beam_exp, new_ids, sc, ef)
+        # 5. merge into beams
+        beam_ids, beam_d = _merge_beam(beam_ids, beam_d, new_ids, sc, ef)
         if use_mask:
             passf = valid & mask[nbr_c]
-            r_ids, r_d = _merge_beam_dedup(res_ids, res_d,
-                                           jnp.where(passf, nbr, -1),
-                                           jnp.where(passf, sc, INF), ef)
+            r_ids, r_d = _merge_beam(res_ids, res_d, jnp.where(passf, nbr, -1),
+                                     jnp.where(passf, sc, INF), ef)
         else:
             passf = None
             r_ids, r_d = res_ids, res_d
         if R:
             c_ids = jnp.where(passf, nbr, -1) if use_mask else new_ids
             c_d = jnp.where(passf, sc, INF) if use_mask else sc
-            p_ids, p_d = _merge_beam_dedup(pool_ids, pool_d, c_ids, c_d, R)
+            p_ids, p_d = _merge_beam(pool_ids, pool_d, c_ids, c_d, R)
         else:
             p_ids, p_d = pool_ids, pool_d
-        return (it + 1, step_done, beam_ids, beam_d, beam_exp, r_ids, r_d,
-                p_ids, p_d)
+        return (it + 1, step_done, beam_ids, beam_d, r_ids, r_d, p_ids, p_d, hist)
 
-    state = (jnp.int32(0), done, beam_ids, beam_d, beam_exp0, res_ids, res_d,
-             pool_ids, pool_d)
+    state = (jnp.int32(0), done, beam_ids, beam_d, res_ids, res_d,
+             pool_ids, pool_d, hist)
     # The fused gather+score kernel (in-kernel DMA with scalar prefetch) hangs
     # the remote Mosaic/XLA pipeline when launched from inside lax.while_loop
     # (measured: >55 min with no progress vs seconds standalone). Unroll the
     # loop instead: identical math (done-masked queries contribute nothing),
-    # the iteration index constant-folds, and each unrolled step reuses the
-    # one compiled kernel. Early exit is
+    # the iteration index constant-folds (hist updates become static slices),
+    # and each unrolled step reuses the one compiled kernel. Early exit is
     # lost, but at production operating points max_iters is tuned to the knee
     # anyway (while_loop measured == fori_loop there).
     if use_fused:
@@ -465,7 +422,7 @@ def beam_search_layer(metric_name: str, vectors, sqnorms, tbl_ids, q, start_ids,
             state = body(state)
     else:
         state = lax.while_loop(cond, body, state)
-    _, _, beam_ids, beam_d, _, res_ids, res_d, pool_ids, pool_d = state
+    _, _, beam_ids, beam_d, res_ids, res_d, pool_ids, pool_d, _ = state
     out_ids, out_d = (res_ids, res_d) if use_mask else (beam_ids, beam_d)
     if R:
         pool_ids, pool_d = _dedup_pairs(pool_ids, pool_d)
