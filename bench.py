@@ -19,7 +19,8 @@ Environment knobs: BENCH_N (default 200000), BENCH_D (128), BENCH_M (24),
 BENCH_EFC (400), BENCH_SCALE (0.5 level scale — the reference's own best SIFT1M
 rows use scale=0.5, examples/ann-sift1m-128-euclidean.rs:30-44; efc=400/scale=0.5
 measured +0.005-0.008 recall-per-ef over efc=200/scale=1 at 1M),
-BENCH_BATCH (4096 build batch), BENCH_QBATCH (16384 query batch),
+BENCH_BATCH (16384 build batch), BENCH_QBATCH (16384 query batch),
+BENCH_BUILD_MAXITERS (96 construction-beam iter cap; 0 = uncapped),
 BENCH_SCANB (2048 exact-scan query batch),
 BENCH_BUILD (device|native), BENCH_INTRINSIC (16), BENCH_RECALL (0.98),
 BENCH_TARGET (ef-choice recall target, default max(floor+0.005, 0.985) — margin
@@ -126,7 +127,13 @@ def main():
     M = int(os.environ.get("BENCH_M", 24))
     efc = int(os.environ.get("BENCH_EFC", 400))
     scale = float(os.environ.get("BENCH_SCALE", 0.5))
-    BB = int(os.environ.get("BENCH_BATCH", 4096))
+    # Build batch + construction-beam iteration cap: measured on the 200k
+    # driver-default build (zbuild1 grid, one v5e): B=4096/no-cap 320.0s,
+    # B=4096/bmi=96 294.7s, B=16384/bmi=96 247.6s — all at IDENTICAL search
+    # recall (0.9899 @ ef=64, 0.9929-0.9930 @ ef=80) and ~same repair count
+    # (1169 vs 1253). Bigger rounds amortize the per-round host bookkeeping;
+    # the iter cap bounds the construction beam's while_loop tail.
+    BB = int(os.environ.get("BENCH_BATCH", 16384))
     # Query batch: the beam iteration is a latency floor (5.4 ms, measured
     # batch-size-independent at B=4096..8192), so QPS scales with B until the
     # iteration finally grows. Measured at 1M x 128 (ef=64/80/96): B=16384 runs
@@ -287,9 +294,11 @@ def main():
         h = Hnsw(max_nb_connection=M, max_elements=N, ef_construction=efc, dist="L2")
         h.set_keeping_pruned(True)
         h.modify_level_scale(scale)
-        bmi = os.environ.get("BENCH_BUILD_MAXITERS")  # construction-beam iter cap
+        # construction-beam iter cap (default 96: measured no-recall-loss at
+        # 200k, cuts build ~8-23%; BENCH_BUILD_MAXITERS=0 restores uncapped)
+        bmi = int(os.environ.get("BENCH_BUILD_MAXITERS", 96))
         h.parallel_insert(X, mode="device", batch_size=BB,  # bulk array ingest
-                          build_max_iters=int(bmi) if bmi else None)
+                          build_max_iters=bmi if bmi > 0 else None)
     build_s = time.time() - t0
     log(f"[bench] build done in {build_s:.1f}s ({N / build_s:.0f} pts/s)")
     if os.environ.get("BENCH_SAVE"):
