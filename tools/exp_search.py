@@ -85,7 +85,8 @@ def main():
         return hits / (NQ_GT * k)
 
     BLOCKS = int(os.environ.get("EXP_BLOCKS", 5))
-    # spec: ef,expand,max_iters(0=default),seeds,qbatch[,pool(0=None)[,width(0=None)]]
+    # spec: ef,expand,max_iters(0=default),seeds,qbatch[,pool(0=None)
+    #       [,width(0=None)[,rerank(0=None — cap of the final exact f32 pass)]]]
     grid = os.environ.get(
         "EXP_GRID",
         "80,4,0,4,16384;80,4,18,4,16384;80,4,14,4,16384;64,4,0,4,16384;"
@@ -96,13 +97,15 @@ def main():
         ef, expand, mi, seeds, qb = parts[:5]
         pool = parts[5] if len(parts) > 5 and parts[5] > 0 else None
         width = parts[6] if len(parts) > 6 and parts[6] > 0 else None
+        rerank = parts[7] if len(parts) > 7 and parts[7] > 0 else None
         if getattr(h, "_codec_width", None) != width:
             h._codec_width = width  # width-capped traversal codec
             h._codec_cache = None   # cache is version-keyed; width isn't in it
         max_iters = mi if mi > 0 else None
         ids, _ = device_search_stream(h, Q[:NQ_GT], k, ef, batch=min(qb, NQ_GT),
                                       expand=expand, max_iters=max_iters,
-                                      seeds=seeds, query_dtype="f16", pool=pool)
+                                      seeds=seeds, query_dtype="f16", pool=pool,
+                                      rerank=rerank)
         oid = np.where(ids >= 0, h._origin[np.clip(ids, 0, h._nb_point - 1)], -1)
         rec = recall_fp64(oid)
 
@@ -111,7 +114,7 @@ def main():
         def once():
             device_search_stream(h, Qs, k, ef, batch=qb, expand=expand,
                                  max_iters=max_iters, seeds=seeds,
-                                 query_dtype="f16", pool=pool)
+                                 query_dtype="f16", pool=pool, rerank=rerank)
 
         t0 = time.time(); once(); per = max(time.time() - t0, 1e-3)
         reps = max(1, int(np.ceil(2.0 / per)))
@@ -130,17 +133,18 @@ def main():
         mi_eff = max_iters if max_iters is not None else max(8, ef // expand + 2)
         out = _search_program(g, qd, None, ef=ef, knbn=k, expand=expand,
                               use_mask=False, max_iters=mi_eff, codec=codec,
-                              term_slack=1.0, rerank=None, pool=pool, seeds=seeds)
+                              term_slack=1.0, rerank=rerank, pool=pool,
+                              seeds=seeds)
         np.array(out[0])  # warm
         t0 = time.time()
         outs = [_search_program(g, qd, None, ef=ef, knbn=k, expand=expand,
                                 use_mask=False, max_iters=mi_eff, codec=codec,
-                                term_slack=1.0, rerank=None, pool=pool,
+                                term_slack=1.0, rerank=rerank, pool=pool,
                                 seeds=seeds) for _ in range(4)]
         np.array(outs[-1][0])
         kqps = 4 * qb / (time.time() - t0)
         row = dict(ef=ef, expand=expand, max_iters=mi_eff, seeds=seeds, qb=qb,
-                   pool=pool, width=width, recall=round(rec, 4),
+                   pool=pool, width=width, rerank=rerank, recall=round(rec, 4),
                    qps=round(qps, 1), spread=round(spread, 3),
                    kernel_qps=round(kqps, 1))
         results.append(row)
