@@ -947,7 +947,7 @@ class Hnsw:
             cw = getattr(self, "_codec_width", None)
             if cw is not None:
                 w = min(int(cw), w)  # width-capped codec is smaller — size it as such
-            est = g0.cap1 * w * (self._dim or 1)
+            est = g0.cap1 * (w + 8) * (self._dim or 1)  # +8: codec id rows
             if self._nb_point < self.CODEC_MIN_POINTS or est > self.CODEC_MAX_BYTES:
                 return None
             kind = "i8"

@@ -164,7 +164,7 @@ def _pallas_scores_ok(B: int, d: int, M0: int = 8) -> bool:
 
 
 def scores_codec(codec, q, src_c, qsq, qnorm, q_i8=None, q_i8_scale=None,
-                 allow_fused=True):
+                 allow_fused=True, want_ids=False):
     """Approximate distances of each query to the E expanded nodes' full
     neighborhoods, via the blocked quantized store: [B,E] block rows -> [B,E*M0].
     One contiguous ~M0*d-byte gather row per expanded node instead of M0 scattered
@@ -181,6 +181,11 @@ def scores_codec(codec, q, src_c, qsq, qnorm, q_i8=None, q_i8_scale=None,
     E = src_c.shape[1]
     K = E * codec.M0
     m = codec.metric_name
+    if want_ids and not (allow_fused and codec.id_rows > 0
+                         and codec.blocks.dtype == jnp.int8
+                         and _pallas_scores_ok(B, codec.dim, codec.M0)):
+        raise ValueError("want_ids requires the fused int8 kernel path "
+                         "(callers must mirror the use_fused gate)")
     if codec.blocks.dtype == jnp.int8 and _pallas_scores_ok(B, codec.dim,
                                                             codec.M0):
         form = ("l2" if m in ("L2", "DistL2")
@@ -193,20 +198,29 @@ def scores_codec(codec, q, src_c, qsq, qnorm, q_i8=None, q_i8_scale=None,
             # through HBM first (measured 1.9x slower at B=8192 E=4 on the 1M
             # codec). Callers must run it from an UNROLLED loop — see
             # beam_search_layer (while_loop + in-kernel DMA hangs compilation).
-            # codec.blocks is stored [cap1, M0, d]: reshaping the captured
-            # table in-program would copy all 6 GB (compile-time HBM OOM).
-            from .pallas_scores import pallas_fused_codec_scores
+            # codec.blocks is stored [cap1, M0(+id_rows), d]: reshaping the
+            # captured table in-program would copy all 6 GB (compile-time OOM).
             qt = FUSED_QT if B % FUSED_QT == 0 else 8
+            if codec.id_rows > 0:
+                # id-carrying blocks: the ids ride the same block DMAs and
+                # come back as a second output — kills the beam loop's
+                # separate [B,E] table-row gather (5.1 ms/iter at B=16384)
+                from .pallas_scores import pallas_fused_codec_scores_ids
+                sc, nbr = pallas_fused_codec_scores_ids(
+                    src_c, q, qsn, codec.scale, codec.blocks, E, codec.M0,
+                    form=form, qt=qt, slots=FUSED_SLOTS)
+                return (sc, nbr) if want_ids else sc
+            from .pallas_scores import pallas_fused_codec_scores
             return pallas_fused_codec_scores(src_c, q, qsn, codec.scale,
                                              codec.blocks, E, form=form,
                                              qt=qt, slots=FUSED_SLOTS)
         from .pallas_scores import pallas_codec_scores
-        blk = codec.blocks[src_c]  # [B, E, M0, d]
+        blk = codec.blocks[src_c][:, :, :codec.M0]  # [B, E, M0, d]
         csq = codec.blocks_sq[src_c].reshape(B, K)
         qt = 16 if B % 16 == 0 else 8
         return pallas_codec_scores(q, blk.reshape(B, K * codec.dim), csq, qsn,
                                    codec.scale, form=form, qt=qt)
-    blk = codec.blocks[src_c]  # [B, E, M0, d]
+    blk = codec.blocks[src_c][:, :, :codec.M0]  # [B, E, M0, d]
     csq = codec.blocks_sq[src_c].reshape(B, K)
     cb = blk.reshape(B, K, codec.dim)
     if q_i8 is not None and cb.dtype == jnp.int8:
@@ -338,6 +352,10 @@ def beam_search_layer(metric_name: str, vectors, sqnorms, tbl_ids, q, start_ids,
     use_fused = (codec is not None and codec.blocks.dtype == jnp.int8
                  and _pallas_scores_ok(B, codec.dim, codec.M0)
                  and max_iters <= 48)
+    # ids-emitting kernel variant: valid only when the traversal table is the
+    # codec's own (same width) so kernel-emitted ids == tbl_ids rows
+    use_fused_ids = (use_fused and getattr(codec, "id_rows", 0) > 0
+                     and M == codec.M0)
 
     def cond(state):
         it, done, *_ = state
@@ -370,7 +388,16 @@ def beam_search_layer(metric_name: str, vectors, sqnorms, tbl_ids, q, start_ids,
         hist = lax.dynamic_update_slice(
             hist, jnp.where(sel_ok, src, -2), (jnp.int32(0), (it % n_slots) * E))
         src_c = jnp.clip(src, 0, cap1 - 1)
-        nbr = tbl_ids[src_c].reshape(B, K)
+        # 2b/4 fused: with the ids-emitting kernel the neighbor ids arrive from
+        # the SAME DMAs as the codec blocks (BeamCodec.ids8) — the separate
+        # XLA gather of [B, E] table rows measured 5.1 ms/iter at B=16384 on
+        # 1M (224-byte random rows are pure access latency), the largest
+        # single component of the iteration.
+        if use_fused_ids:
+            sc, nbr = scores_codec(codec, q, src_c, qsq, qnorm, q_i8,
+                                   q_i8_scale, allow_fused=True, want_ids=True)
+        else:
+            nbr = tbl_ids[src_c].reshape(B, K)
         valid = jnp.repeat(sel_ok, M, axis=1) & (nbr >= 0)
         # 3. revisit suppression by comparison (no scatter):
         #    beam membership, history membership, intra-step duplicates
@@ -382,7 +409,9 @@ def beam_search_layer(metric_name: str, vectors, sqnorms, tbl_ids, q, start_ids,
         nbr_c = jnp.where(valid, nbr, cap1 - 1)
         # 4. score candidates: blocked quantized store (one row per expanded node)
         #    or the exact f32 row gather
-        if codec is not None:
+        if use_fused_ids:
+            pass  # scored above, fused with the id DMA
+        elif codec is not None:
             sc = scores_codec(codec, q, src_c, qsq, qnorm, q_i8, q_i8_scale,
                               allow_fused=use_fused)
         else:

@@ -39,20 +39,24 @@ def _blocks_update(blocks, rows, start):
     return jax.lax.dynamic_update_slice(blocks, rows, (start, 0, 0))
 
 
-def _gather_blocks(vq, safe):
-    """blocks[g] = vq[safe[g]] as [cap1, M0, d], built in ~512MB chunks with
-    donated in-place writes — the one-shot gather needs 2x the final array
-    transiently (12GB at 1M x 48 x 128 int8), which blows v5e HBM. The blocks
-    stay 3-D: the fused gather+score kernel addresses whole [M0, d] rows from
-    HBM, and reshaping a captured 6GB table inside a jitted program costs a
-    full second copy (measured: compile-time OOM at 17.9G/15.75G)."""
+def _gather_blocks(vq, safe, idbytes=None):
+    """blocks[g] = vq[safe[g]] as [cap1, M0(+id_rows), d], built in ~512MB
+    chunks with donated in-place writes — the one-shot gather needs 2x the
+    final array transiently (12GB at 1M x 48 x 128 int8), which blows v5e HBM.
+    The blocks stay 3-D: the fused gather+score kernel addresses whole rows
+    from HBM, and reshaping a captured 6GB table inside a jitted program costs
+    a full second copy (measured: compile-time OOM at 17.9G/15.75G).
+
+    ``idbytes`` ([cap1, id_rows, d], same dtype) appends per-node id rows —
+    see ``BeamCodec.id_rows``."""
     cap1, M0 = safe.shape
     d = vq.shape[1]
+    r_id = 0 if idbytes is None else idbytes.shape[1]
     itemsize = jnp.dtype(vq.dtype).itemsize
-    chunk = max(1024, (1 << 29) // max(1, M0 * d * itemsize))
-    if cap1 <= 2 * chunk:
+    chunk = max(1024, (1 << 29) // max(1, (M0 + r_id) * d * itemsize))
+    if cap1 <= 2 * chunk and idbytes is None:
         return vq[safe]
-    blocks = jnp.zeros((cap1, M0, d), vq.dtype)
+    blocks = jnp.zeros((cap1, M0 + r_id, d), vq.dtype)
     s = 0
     while s < cap1:
         e = min(s + chunk, cap1)
@@ -60,6 +64,8 @@ def _gather_blocks(vq, safe):
             s = cap1 - chunk
             e = cap1
         rows = vq[safe[s:e]]
+        if idbytes is not None:
+            rows = jnp.concatenate([rows, idbytes[s:e]], axis=1)
         blocks = _blocks_update(blocks, rows, jnp.int32(s))
         s = e
     return blocks
@@ -89,16 +95,29 @@ class BeamCodec:
     store L2-normalized rows so the Dot form applies.
     """
 
-    blocks: jax.Array  # [cap1, M0, d] int8 (or bfloat16 with scale == 1)
+    # blocks: [cap1, M0 + id_rows, d] int8 (or [cap1, M0, d] bfloat16 with
+    # scale == 1). Rows [0:M0] are the quantized neighbor vectors; when
+    # ``id_rows`` > 0 the trailing rows carry the node's layer-table ids,
+    # int32-bitcast to bytes (-1 padded). The fused score kernel DMAs the
+    # whole [M0+id_rows, d] block per expanded node and emits the neighbor
+    # ids as a second output — replacing the beam loop's separate XLA gather
+    # of [B, E] table rows, which measured 5.1 ms/iter at B=16384 E=4 on 1M
+    # (224-byte random rows through the gather unit are pure access latency,
+    # the largest single component of the iteration) with +id_rows/M0 bytes
+    # on DMAs already in flight. id rows are padded to keep the total a
+    # multiple of 8 (Mosaic sublane tiling for sliced dim 1 — the round-3
+    # 52-wide crash class).
+    blocks: jax.Array
     blocks_sq: jax.Array  # [cap1, M0] f32
     scale: jax.Array  # [] f32 dequantization multiplier
     M0: int = 0
     dim: int = 0
     metric_name: str = "L2"
+    id_rows: int = 0
 
     def tree_flatten(self):
         return (self.blocks, self.blocks_sq, self.scale), (
-            self.M0, self.dim, self.metric_name)
+            self.M0, self.dim, self.metric_name, self.id_rows)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -164,10 +183,21 @@ class BeamCodec:
             scale = (amax / 127.0).astype(jnp.float32)
             qi = vq.astype(jnp.int32)
             qsq = (qi * qi).sum(-1).astype(jnp.float32) * (scale * scale)
-        blocks = _gather_blocks(vq, safe)
+        # id rows (int8 kind, lane-aligned d only — the fused kernel's domain):
+        # the node's M0 table ids, int32-bitcast to bytes and padded up to
+        # whole [r_id, d] rows with -1, keeping M0 + r_id a multiple of 8
+        idbytes = None
+        r_id = 0
+        if kind != "bf16" and d % 128 == 0:
+            r_id = _round_up(M0 + max(1, -(-(M0 * 4) // d)), 8) - M0
+            idcap = r_id * d // 4  # int32 ids that fit the padded rows
+            idp = jnp.pad(tbl, ((0, 0), (0, idcap - M0)), constant_values=-1)
+            idbytes = jax.lax.bitcast_convert_type(idp, jnp.int8).reshape(
+                cap1, r_id, d)
+        blocks = _gather_blocks(vq, safe, idbytes)
         blocks_sq = qsq[safe]
-        return cls(blocks=blocks, blocks_sq=blocks_sq, scale=scale, M0=M0, dim=d,
-                   metric_name=g.metric_name)
+        return cls(blocks=blocks, blocks_sq=blocks_sq, scale=scale,
+                   M0=M0, dim=d, metric_name=g.metric_name, id_rows=r_id)
 
     @property
     def nbytes(self) -> int:

@@ -93,6 +93,7 @@ def pallas_codec_scores(q, blk, csq, qsq_or_norm, scale, form: str = "l2",
 def _fused_kernel(src_ref, scale_ref, q_ref, qsn_ref, blocks_ref, out_ref,
                   scratch, sems, *, E: int, M0: int, d: int, QT: int,
                   form: str, SLOTS: int = 2):
+    """See _fused_kernel_ids for the ids-emitting variant."""
     """Gather + dequant + dot + norms in ONE kernel: the expanded nodes' int8
     neighborhood blocks are DMA'd straight from the HBM codec table into a
     multi-buffered VMEM scratch (indices arrive via scalar prefetch), so the
@@ -148,6 +149,119 @@ def _fused_kernel(src_ref, scale_ref, q_ref, qsn_ref, blocks_ref, out_ref,
         out_ref[:] = 1.0 - ip
     else:  # cosine over pre-normalized blocks: only the query norm remains
         out_ref[:] = 1.0 - ip / jnp.maximum(qsn_ref[:], 1e-20)
+
+
+def _fused_kernel_ids(src_ref, scale_ref, q_ref, qsn_ref, blocks_ref,
+                      out_ref, oid_ref, scratch, sems, *, E: int, M0: int,
+                      RID: int, d: int, QT: int, form: str, SLOTS: int = 2):
+    """_fused_kernel over id-carrying blocks: each DMA'd [M0+RID, d] block row
+    holds the node's quantized neighbor vectors (rows [0:M0]) plus its layer-
+    table ids, int32-bitcast to bytes (rows [M0:], see ``BeamCodec.id_rows``).
+    The ids are emitted as a raw-byte second output. This removes the beam
+    loop's separate XLA gather of [B, E] table rows — measured 5.1 ms/iter at
+    B=16384 E=4 M0=56 on 1M (2.9 GB/s: 224-byte random rows are pure access
+    latency, the largest single component of the iteration) — for +RID/M0
+    bytes on DMAs already in flight (same DMA count, no extra issue cost).
+    The caller bitcasts the bytes back to int32 in XLA (contiguous, cheap)."""
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    RE = QT * E
+
+    def issue(step, slot):
+        base = step * RE
+        for j in range(RE):
+            idx = src_ref[base + j]
+            pltpu.make_async_copy(blocks_ref.at[idx], scratch.at[slot, j],
+                                  sems.at[slot, j]).start()
+
+    @pl.when(i == 0)
+    def _():
+        issue(0, 0)
+        for s in range(1, SLOTS - 1):  # static unroll of the pipeline fill
+            @pl.when(s < n)
+            def _(s=s):
+                issue(s, s)
+
+    @pl.when(i + SLOTS - 1 < n)
+    def _():
+        issue(i + SLOTS - 1, (i + SLOTS - 1) % SLOTS)
+
+    slot = i % SLOTS
+    for j in range(RE):
+        idx = src_ref[i * RE + j]
+        pltpu.make_async_copy(blocks_ref.at[idx], scratch.at[slot, j],
+                              sems.at[slot, j]).wait()
+    raw = scratch[slot]  # [RE, M0+RID, d] i8
+    oid_ref[:] = raw[:, M0:, :].reshape(QT, E * RID * d)
+    blk = raw[:, :M0, :].reshape(QT, E, M0, d).astype(jnp.float32)
+    qv = q_ref[:]  # [QT, d] f32
+    sc = scale_ref[0, 0]
+    ip = (blk * qv[:, None, None, :]).sum(-1).reshape(QT, E * M0) * sc
+    if form == "l2":
+        csq = (blk * blk).sum(-1).reshape(QT, E * M0) * (sc * sc)
+        out_ref[:] = jnp.sqrt(jnp.maximum(qsn_ref[:] - 2.0 * ip + csq, 0.0))
+    elif form == "dot":
+        out_ref[:] = 1.0 - ip
+    else:  # cosine over pre-normalized blocks: only the query norm remains
+        out_ref[:] = 1.0 - ip / jnp.maximum(qsn_ref[:], 1e-20)
+
+
+@partial(jax.jit, static_argnames=("E", "M0", "form", "qt", "slots",
+                                   "interpret"))
+def pallas_fused_codec_scores_ids(src, q, qsn, scale, blocks3, E: int,
+                                  M0: int, form: str = "l2", qt: int = 8,
+                                  slots: int = 2, interpret: bool = False):
+    """Fused gather+score that ALSO returns the expanded nodes' neighbor ids.
+
+    Args (vs pallas_fused_codec_scores):
+      blocks3: [cap1, M0 + id_rows, d] int8 — id-carrying codec table
+        (``BeamCodec`` built with ``id_rows`` > 0).
+      M0: vector rows per block (static; blocks3.shape[1] - M0 = id rows).
+
+    Returns (scores [B, E*M0] f32, nbr [B, E*M0] int32) — the int32 decode and
+    the id-capacity -> M0 segment slice happen caller-side in XLA (contiguous,
+    cheap).
+    """
+    B = q.shape[0]
+    M0T, d = blocks3.shape[1], blocks3.shape[2]
+    RID = M0T - M0
+    assert RID > 0 and RID * d >= 4 * M0, (M0T, M0, d)
+    RE = qt * E
+    slots = max(2, min(int(slots), max(2, B // qt)))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B // qt,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i, s: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((qt, d), lambda i, s: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((qt, 1), lambda i, s: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec((qt, E * M0), lambda i, s: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((qt, E * RID * d), lambda i, s: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((slots, RE, M0T, d), jnp.int8),
+            pltpu.SemaphoreType.DMA((slots, RE)),
+        ],
+    )
+    sc, raw = pl.pallas_call(
+        partial(_fused_kernel_ids, E=E, M0=M0, RID=RID, d=d, QT=qt, form=form,
+                SLOTS=slots),
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((B, E * M0), jnp.float32),
+                   jax.ShapeDtypeStruct((B, E * RID * d), jnp.int8)),
+        interpret=interpret,
+    )(src.reshape(-1), scale.reshape(1, 1), q.astype(jnp.float32), qsn,
+      blocks3)
+    # decode: [B, E*RID*d] i8 -> [B, E, RID*d/4, 4] -> i32 -> [:, :, :M0]
+    idcap = RID * d // 4
+    nbr = jax.lax.bitcast_convert_type(
+        raw.reshape(B, E, idcap, 4), jnp.int32)
+    return sc, nbr[:, :, :M0].reshape(B, E * M0)
 
 
 @partial(jax.jit, static_argnames=("E", "form", "qt", "slots", "interpret"))
