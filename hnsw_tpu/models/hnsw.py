@@ -669,6 +669,7 @@ class Hnsw:
             pv = np.unique(np.concatenate([lv, ent]).astype(np.int64)) if (len(lv) or ent) else np.array([0])
         rng = np.random.default_rng(0x5EED)
         repairs = 0
+        self._repair_incomplete = 0  # unreached count when the budget fires
         import time as _time
         if time_budget_s is None:
             time_budget_s = float(os.environ.get("HNSW_REPAIR_BUDGET_S", "600"))
@@ -772,12 +773,13 @@ class Hnsw:
                     expand(u_sel)
                     repairs += len(u_sel)
                     if _time.monotonic() > deadline:
+                        self._repair_incomplete = int((~reached).sum())
                         init_logging().warning(
                             "ensure_navigable: time budget %.0fs exhausted "
                             "mid-reachability (%d repairs; %d still "
                             "unreached)", time_budget_s, repairs,
-                            int((~reached).sum()))
-                        return repairs
+                            self._repair_incomplete)
+                        return self._finish_repair(repairs)
                 else:
                     # island with zero edges into the reached set: bridge the
                     # closest sampled cross pair, bidirectionally
@@ -844,6 +846,13 @@ class Hnsw:
                         "in-degree reinforcement (%d repairs)",
                         time_budget_s, repairs)
                     break
+        return self._finish_repair(repairs)
+
+    def _finish_repair(self, repairs: int) -> int:
+        """EVERY ``ensure_navigable`` exit path must pass through here: the
+        version bump invalidates the device/codec caches (keyed on ``_version``
+        in ``_device_graph``/``_device_codec``), so even a budget-truncated
+        repair is served instead of a stale pre-repair snapshot."""
         if repairs:
             self._version += 1
         return repairs

@@ -171,6 +171,10 @@ def _ivf_probe(q, cent, csq, Xpk3, xsq3, pcT, kf: int, metric: str):
         slab = Xpk3[lists]                       # [B, cap, d] block gather
         ssq = xsq3[lists]                        # [B, cap]
         d = scores_gathered(metric, qf, slab, ssq)   # [B, cap]
+        # padding rows carry the xsq=inf sentinel; only the L2 form consults
+        # xsq, so under Dot/Cosine a zero pad row would score a finite 1.0 and
+        # could out-rank real negative-similarity candidates — mask explicitly
+        d = jnp.where(jnp.isinf(ssq), jnp.inf, d)
         rid = (lists[:, None] * cap
                + jnp.arange(cap, dtype=jnp.int32)[None, :])
         neg, idx = lax.top_k(-jnp.concatenate([vals, d], 1), kf)
@@ -198,7 +202,9 @@ def _exact_refine(q, Xf3, xsq3, rows, metric: str):
     xsqf = xsq3.reshape(L * cap)
     safe = jnp.clip(rows, 0, L * cap - 1)
     dd = scores_gathered(metric, q.astype(jnp.float32), Xf[safe], xsqf[safe])
-    dd = jnp.where(rows >= 0, dd, jnp.inf)
+    # rows<0: unfilled top-k slots; xsq=inf sentinel: slab padding rows (the
+    # sentinel only reaches Dot/Cosine distances through this mask)
+    dd = jnp.where((rows >= 0) & ~jnp.isinf(xsqf[safe]), dd, jnp.inf)
     o = jnp.argsort(dd, axis=1)
     return (jnp.take_along_axis(rows, o, axis=1),
             jnp.take_along_axis(dd, o, axis=1))

@@ -665,7 +665,13 @@ def device_parallel_insert(hnsw, pairs, batch_size: Optional[int] = None,
         hnsw._repair_stats = {"repairs": int(repaired),
                               "seconds": round(_time.time() - _t0, 2),
                               "layer0_width": int(hnsw._layers[0].width)
-                              if 0 in hnsw._layers else 0}
+                              if 0 in hnsw._layers else 0,
+                              # >0 means HNSW_REPAIR_BUDGET_S fired and the
+                              # reachability guarantee is best-effort: this
+                              # many points stayed unreached (bench/driver
+                              # runs must not read that as a healthy build)
+                              "incomplete": int(getattr(
+                                  hnsw, "_repair_incomplete", 0))}
         if repaired:
             from ..utils.logging import init_logging
             init_logging().info("navigability repair: %d links added in %.1fs",

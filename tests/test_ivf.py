@@ -155,3 +155,28 @@ def test_auto_routes_clustered_to_ivf(rng):
     assert b.choose_engine() == "scan"
     b.SCAN_BUDGET = 100
     assert b.choose_engine() == "ivf"
+
+
+def test_ivf_dot_padding_never_outranks(rng):
+    """ADVICE r4: slab padding rows are zero vectors, which under Dot/Cosine
+    scored a finite 1 - 0 = 1.0 (the xsq=inf sentinel is only consulted by the
+    L2 form) and could out-rank real negative-similarity candidates, surfacing
+    as -1 ids mid-results. Padding must now be masked for every metric."""
+    d = 8
+    q = np.zeros((4, d), np.float32)
+    q[:, 0] = 1.0
+    # every corpus vector has NEGATIVE dot with every query; pre-normalize so
+    # IVF's reference-matching Dot insert normalization is a no-op and the
+    # (non-normalizing) brute-force oracle ranks identically
+    X = rng.standard_normal((20, d)).astype(np.float32)
+    X[:, 0] = -np.abs(X[:, 0]) - 0.5
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    ix = IvfFlatIndex(dist="Dot", n_clusters=3)
+    ix.parallel_insert((X, np.arange(20)))
+    gi, gd = ix.search_batch(q, 5, nprobe=ix.n_lists)
+    assert (gi >= 0).all(), f"padding rows leaked into results: {gi}"
+    assert np.isfinite(gd).all()
+    bf = BruteForceIndex(dist="Dot")
+    bf.parallel_insert([(X[i], i) for i in range(20)])
+    wi, wd = bf.search_batch(q, 5)
+    assert _recall(gi, wi) == 1.0

@@ -219,3 +219,25 @@ def test_pallas_gate_rejects_misaligned_m0(monkeypatch):
     assert not bs._pallas_scores_ok(8, 128, 21)
     assert not bs._pallas_scores_ok(7, 128, 48)   # existing B gate still holds
     assert not bs._pallas_scores_ok(8, 25, 48)    # existing d gate still holds
+
+
+def test_repair_budget_truncation_bumps_version(rng):
+    """ADVICE r4 (medium): the reachability budget early-return exited BEFORE
+    the ``_version`` bump, so device/codec caches (keyed on _version) kept
+    serving the pre-repair snapshot even though repair links were already in
+    the layer tables. Every exit path must now bump when repairs > 0."""
+    n, d = 3000, 16
+    X = _clustered(rng, n, d, n_clusters=12, spread=0.02)
+    h = Hnsw(max_nb_connection=8, max_elements=n, ef_construction=48, dist="L2")
+    h._auto_repair = False  # keep the graph un-repaired for the direct call
+    h.parallel_insert((X, np.arange(n)), mode="device")
+    v0 = h._version
+    reps = h.ensure_navigable(time_budget_s=0.0)  # deadline fires on round 1
+    if reps == 0:
+        pytest.skip("graph needed no repair; truncation path unreachable here")
+    assert h._version == v0 + 1, "truncated repair must invalidate caches"
+    assert h._repair_incomplete >= 0  # recorded for _repair_stats consumers
+    # a full-budget rerun completes the guarantee and resets the marker
+    h.ensure_navigable()
+    assert h._repair_incomplete == 0
+    assert _reachable_from(h, _fallback_pivots(h)).all()
