@@ -77,6 +77,17 @@ class RoundConfig:
     # of it, so a tuned cap trades the stragglers' last candidates for round
     # wall-clock. Set via device_parallel_insert(build_max_iters=...).
     max_iters: Optional[int] = None
+    # Build-time in-degree guarantee at layer 0 (VERDICT r4 next #2): when the
+    # round threads an ``indeg0`` array, each new point's ``min_indeg`` nearest
+    # backlink edges are PROTECTED from merge truncation, and an existing row
+    # entry whose target has <= min_indeg in-links is protected from eviction
+    # ("never evict a last in-link"). This moves the reachability/in-degree
+    # guarantee from the post-hoc host BFS (``Hnsw.ensure_navigable`` — 614 s
+    # budget-capped at 200k clustered) into the rounds themselves, where the
+    # diversity prune starves in-degree in the first place (reference has the
+    # identical failure and no fix: src/hnsw.rs:1365-1395, measured 0.28
+    # recall @ ef=512 on the clustered family).
+    min_indeg: int = 2
 
 
 # ----------------------------------------------------------- neighbor selection ------
@@ -222,33 +233,51 @@ def extend_candidates_batched(metric: str, vectors, sqnorms, tbl0, q, cand_ids,
 
 # ------------------------------------------------------------- reverse-link merge ----
 
-def _reverse_merge(tbl_ids, tbl_d, eq, esrc, ed, valid, width: int):
+def _reverse_merge(tbl_ids, tbl_d, eq, esrc, ed, valid, width: int,
+                   indeg=None, eprot=None, min_indeg: int = 2):
     """Deterministically merge backlink edges (target q <- source src at dist d) into
     the target rows of one layer table. Lossless: top-width of (existing ∪ incoming)
-    equals the reference's sequential add+prune fold."""
+    equals the reference's sequential add+prune fold.
+
+    In-degree guarantee (layer-0 calls; ``indeg``/``eprot`` set — see
+    ``RoundConfig.min_indeg``): an incoming edge flagged in ``eprot`` (a
+    source's ``min_indeg`` nearest targets) survives both truncations ahead of
+    any closer unprotected entry, and an EXISTING entry whose target currently
+    has <= ``min_indeg`` in-links is likewise protected from eviction. Rows
+    stay distance-sorted (survivors are re-sorted by true distance), so only
+    WHICH entries survive changes. Returns (ids, dists) — plus the updated
+    ``indeg`` array when one was given."""
     E = eq.shape[0]
     cap1 = tbl_ids.shape[0]
     sink = cap1 - 1
+    protecting = indeg is not None
     qv = eq.astype(jnp.int32)
     sv = esrc.astype(jnp.int32)
+    pr = (eprot if eprot is not None else jnp.zeros((E,), bool)) & valid
     # Lexicographic orderings via chained STABLE argsorts (int64 keys are unavailable
     # without x64 mode). Invalid edges get q = cap1 so they sort last.
     # 1. dedup (q, src) — reference's `already` check (src/hnsw.rs:1258-1267)
     p_a = jnp.argsort(jnp.where(valid, sv, cap1), stable=True)
-    q_a, s_a, d_a, v_a = qv[p_a], sv[p_a], ed[p_a], valid[p_a]
+    q_a, s_a, d_a, v_a, pr_a = qv[p_a], sv[p_a], ed[p_a], valid[p_a], pr[p_a]
     p_b = jnp.argsort(jnp.where(v_a, q_a, cap1), stable=True)
-    q_b, s_b, d_b, v_b = q_a[p_b], s_a[p_b], d_a[p_b], v_a[p_b]
+    q_b, s_b, d_b, v_b, pr_b = (q_a[p_b], s_a[p_b], d_a[p_b], v_a[p_b],
+                                pr_a[p_b])
     dup = jnp.concatenate([jnp.zeros((1,), bool),
                            (q_b[1:] == q_b[:-1]) & (s_b[1:] == s_b[:-1])])
     v2 = v_b & ~dup
     # 2. group by target, ascending distance: stable sort by distance bits, then by q
-    # (distances are >= 0, so their f32 bit patterns sort correctly as int32)
+    # (distances are >= 0, so their f32 bit patterns sort correctly as int32).
+    # Protected edges take a -2^30 key offset (bits are halved first so the
+    # offset cannot collide with any unprotected key): they sort FIRST within
+    # their target group and therefore survive the per-target rank<width cap.
     dbits = lax.bitcast_convert_type(jnp.where(v2, d_b, jnp.inf).astype(jnp.float32),
                                      jnp.int32)
-    p_c = jnp.argsort(dbits, stable=True)
-    q_c, s_c, d_c, v_c = q_b[p_c], s_b[p_c], d_b[p_c], v2[p_c]
+    dkey = (dbits >> 1) - jnp.int32(1 << 30) * (pr_b & v2)
+    p_c = jnp.argsort(dkey, stable=True)
+    q_c, s_c, d_c, v_c, pr_c = (q_b[p_c], s_b[p_c], d_b[p_c], v2[p_c],
+                                pr_b[p_c])
     p_d = jnp.argsort(jnp.where(v_c, q_c, cap1), stable=True)
-    q3, s3, d3, v3 = q_c[p_d], s_c[p_d], d_c[p_d], v_c[p_d]
+    q3, s3, d3, v3, pr3 = q_c[p_d], s_c[p_d], d_c[p_d], v_c[p_d], pr_c[p_d]
     idx = jnp.arange(E)
     newq = jnp.concatenate([jnp.ones((1,), bool), q3[1:] != q3[:-1]])
     first = v3 & newq
@@ -265,24 +294,56 @@ def _reverse_merge(tbl_ids, tbl_d, eq, esrc, ed, valid, width: int):
         jnp.where(keep, d3, jnp.inf).astype(jnp.float32))
     tq = jnp.full((E + 1,), sink, jnp.int32).at[jnp.where(first, slot, E)].set(
         jnp.where(first, q3, sink).astype(jnp.int32))
-    # 4. merge with existing rows: sort by distance, truncate to width
+    # 4. merge with existing rows: sort by (protection, distance), truncate to
+    # width, then re-sort survivors by true distance (bitcast keys would
+    # mis-order negative Dot distances; lax.sort on the float keeps rows exact)
     ex_ids = tbl_ids[tq]
     ex_d = jnp.where(ex_ids < 0, jnp.inf, tbl_d[tq])
     m_ids = jnp.concatenate([ex_ids, inc_ids], axis=1)
     m_d = jnp.concatenate([ex_d, inc_d], axis=1)
-    order = jnp.argsort(m_d, axis=1)[:, :width]
-    m_ids = jnp.take_along_axis(m_ids, order, 1)
-    m_d = jnp.take_along_axis(m_d, order, 1)
+    if protecting:
+        inc_prot = jnp.zeros((E + 1, width), bool).at[r_slot, r_rank].set(
+            keep & pr3)
+        ex_prot = (ex_ids >= 0) & (indeg[jnp.clip(ex_ids, 0, cap1 - 1)]
+                                   <= min_indeg)
+        # unprotected first key 1, protected 0 -> protected sort ahead at equal
+        # float distance AND survive the [:width] truncation over any closer
+        # unprotected entry (num_keys=2 lexicographic)
+        m_unprot = 1 - jnp.concatenate([ex_prot, inc_prot], axis=1).astype(
+            jnp.int32)
+        _, m_d, m_ids = lax.sort((m_unprot, m_d, m_ids), dimension=1,
+                                 num_keys=2)
+        m_ids = m_ids[:, :width]
+        m_d = m_d[:, :width]
+        m_d, m_ids = lax.sort((m_d, m_ids), dimension=1, num_keys=1)
+    else:
+        order = jnp.argsort(m_d, axis=1)[:, :width]
+        m_ids = jnp.take_along_axis(m_ids, order, 1)
+        m_d = jnp.take_along_axis(m_d, order, 1)
     m_ids = jnp.where(jnp.isfinite(m_d), m_ids, -1)
-    return tbl_ids.at[tq].set(m_ids), tbl_d.at[tq].set(m_d)
+    out_ids, out_d = tbl_ids.at[tq].set(m_ids), tbl_d.at[tq].set(m_d)
+    if not protecting:
+        return out_ids, out_d
+    # maintain the global layer-0 in-degree: -1 per surviving BEFORE entry,
+    # +1 per surviving AFTER entry, on real (non-spill) rows only — the sink
+    # row is dead storage no search traverses, so its contents don't count
+    live = (tq != sink)[:, None]
+    indeg = indeg.at[jnp.clip(ex_ids, 0, cap1 - 1)].add(
+        -(live & (ex_ids >= 0)).astype(jnp.int32))
+    indeg = indeg.at[jnp.clip(m_ids, 0, cap1 - 1)].add(
+        (live & (m_ids >= 0)).astype(jnp.int32))
+    return out_ids, out_d, indeg
 
 
 # ------------------------------------------------------------------- round step ------
 
 def round_step(vectors, sqnorms, levels, tables, batch_ids, entry,
-               vectors_lo=None, *, cfg: RoundConfig):
+               vectors_lo=None, indeg0=None, *, cfg: RoundConfig):
     """One synchronized insertion round. ``tables`` is a tuple of (ids, dists) per
-    layer; donated and returned updated.
+    layer; donated and returned updated. When ``indeg0`` (a [cap1] int32
+    layer-0 in-degree array) is threaded, the layer-0 merge runs with the
+    in-degree guarantee (see ``RoundConfig.min_indeg``) and the return value is
+    ``(tables, indeg0)``; otherwise just ``tables`` (legacy callers).
 
     ``vectors_lo``: optional bfloat16 copy of ``vectors`` used ONLY for beam
     traversal scoring (the [B, K, d] candidate gathers are the round's dominant
@@ -389,6 +450,13 @@ def round_step(vectors, sqnorms, levels, tables, batch_ids, entry,
         ids_t[0] = ids_t[0].at[tgt].set(jnp.where(act0[:, None], sel_ids, -1))
         d_t[0] = d_t[0].at[tgt].set(jnp.where(act0[:, None], sel_d, jnp.inf))
         sel0 = (sel_ids, sel_d, act0)
+        if indeg0 is not None:
+            # forward rows of the round's points create in-links to their
+            # selected (established) neighbors; the rows themselves were empty
+            # (round points are fresh), so the delta is purely additive
+            fok = act0[:, None] & (sel_ids >= 0)
+            indeg0 = indeg0.at[jnp.clip(sel_ids, 0, cap1 - 1)].add(
+                fok.astype(jnp.int32))
 
     # 5. reverse-link merge, grouped by target layer l_n = new point's level.
     # Sources with level 0 only contribute their layer-0 row (merged into layer 0);
@@ -401,8 +469,19 @@ def round_step(vectors, sqnorms, levels, tables, batch_ids, entry,
         ed0 = sd.reshape(-1)
         es0 = jnp.broadcast_to(batch_ids[:, None], sids.shape).reshape(-1)
         v0 = (ev0.reshape(-1)) & (eq0 != es0)
-        ids_t[0], d_t[0] = _reverse_merge(ids_t[0], d_t[0], eq0, es0, ed0, v0,
-                                          cfg.widths[0])
+        if indeg0 is None:
+            ids_t[0], d_t[0] = _reverse_merge(ids_t[0], d_t[0], eq0, es0, ed0,
+                                              v0, cfg.widths[0])
+        else:
+            # each source's min_indeg NEAREST backlink edges are protected
+            # (sel rows are distance-sorted, so protection == column rank):
+            # every fresh point leaves its round with >= min_indeg in-links
+            ep0 = jnp.broadcast_to(
+                jnp.arange(sids.shape[1])[None, :] < cfg.min_indeg,
+                sids.shape).reshape(-1)
+            ids_t[0], d_t[0], indeg0 = _reverse_merge(
+                ids_t[0], d_t[0], eq0, es0, ed0, v0, cfg.widths[0],
+                indeg=indeg0, eprot=ep0, min_indeg=cfg.min_indeg)
     if B1 > 0:
         parts = []
         if sel0 is not None:
@@ -422,10 +501,12 @@ def round_step(vectors, sqnorms, levels, tables, batch_ids, entry,
                 v_ln = ev & (elv == l_n)
                 ids_t[l_n], d_t[l_n] = _reverse_merge(ids_t[l_n], d_t[l_n], eq, esrc,
                                                       edd, v_ln, cfg.widths[l_n])
-    return tuple((i, d) for i, d in zip(ids_t, d_t))
+    out = tuple((i, d) for i, d in zip(ids_t, d_t))
+    return out if indeg0 is None else (out, indeg0)
 
 
-_round_step = partial(jax.jit, static_argnames=("cfg",), donate_argnums=(3,))(round_step)
+_round_step = partial(jax.jit, static_argnames=("cfg",),
+                      donate_argnums=(3, 7))(round_step)
 
 
 # ------------------------------------------------------------------ host driver ------
@@ -521,6 +602,19 @@ class HostBuildState:
         lv = np.full(self.cap1, -1, np.int32)
         lv[: self.n_total] = self.hnsw._level[: self.n_total]
         return lv
+
+    def indeg0_np(self) -> np.ndarray:
+        """Layer-0 in-degree of the pre-existing graph (resume-safe seed for
+        the rounds' in-degree guarantee; fresh builds start all-zero)."""
+        ind = np.zeros(self.cap1, np.int32)
+        t = self.hnsw._layers.get(0)
+        if t is not None and self.n0:
+            v = t.ids[: self.n0]
+            v = v[v >= 0]
+            if len(v):
+                bc = np.bincount(v, minlength=self.cap1)[: self.cap1]
+                ind[: len(bc)] = bc
+        return ind
 
     def tables_np(self) -> list:
         h = self.hnsw
@@ -630,6 +724,10 @@ def device_parallel_insert(hnsw, pairs, batch_size: Optional[int] = None,
     use_lo = (metric in ("L2", "DistL2", "Dot", "DistDot", "Cosine", "DistCosine")
               and st.n_total >= 32768) if _lo_env is None else _lo_env == "1"
     vectors_lo = vectors.astype(jnp.bfloat16) if use_lo else None
+    # layer-0 in-degree guarantee (RoundConfig.min_indeg): on by default;
+    # HNSW_BUILD_PROTECT=0 restores the unprotected merge for A/B runs
+    protect = _os.environ.get("HNSW_BUILD_PROTECT", "1") != "0"
+    indeg0 = jnp.asarray(st.indeg0_np()) if protect else None
     from ..utils.profiling import PROFILER
     PROFILER.add("build.points", st.remaining)
     while st.remaining:
@@ -646,9 +744,10 @@ def device_parallel_insert(hnsw, pairs, batch_size: Optional[int] = None,
                           extend=bool(hnsw.extend_candidates), B1=B1,
                           max_iters=build_max_iters)
         with PROFILER.span("build.round"):
-            tables = _round_step(vectors, sqnorms, levels_j, tables,
-                                 jnp.asarray(bidx), jnp.int32(entry),
-                                 vectors_lo, cfg=cfg)
+            out = _round_step(vectors, sqnorms, levels_j, tables,
+                              jnp.asarray(bidx), jnp.int32(entry),
+                              vectors_lo, indeg0, cfg=cfg)
+            tables, indeg0 = out if protect else (out, None)
         if st.cursor % 50_000 < Br:  # reference prints every 50k (src/hnsw.rs:524-526)
             from ..utils.logging import init_logging
             init_logging().info("device insert: %d points indexed", st.cursor)

@@ -205,6 +205,8 @@ class ShardedHnsw:
                         put(np.stack([tabs[s][l][1] for s in range(D)])))
                        for l in range(L))
         del vec, tabs
+        # layer-0 in-degree guarantee, one array per shard (RoundConfig.min_indeg)
+        indeg = put(np.stack([st.indeg0_np() for st in states]))
         B = int(batch_size) if batch_size else int(
             min(4096, max(64, max(st.remaining for st in states))))
         h0 = self.shards[0]
@@ -229,8 +231,8 @@ class ShardedHnsw:
                               extend=bool(h0.extend_candidates), B1=B1)
             if cfg not in step_cache:
                 step_cache[cfg] = sharded_insert_round_fn(self.mesh, self.axis, cfg)
-            tables = step_cache[cfg](vectors, sqnorms, levels, tables,
-                                     put(bidx), put(entry))
+            tables, indeg = step_cache[cfg](vectors, sqnorms, levels, tables,
+                                            put(bidx), put(entry), indeg)
         host_tables = [(np.asarray(t[0]), np.asarray(t[1])) for t in tables]
         for s, st in enumerate(states):
             st.flush([(host_tables[l][0][s], host_tables[l][1][s])
@@ -639,19 +641,20 @@ def sharded_insert_round_fn(mesh, axis, cfg):
     step needs no cross-shard collectives — the ICI cost model is pure dp."""
     from ..ops.insert_rounds import round_step
 
-    def local_round(vectors, sqnorms, levels, tables, batch_ids, entry):
-        out = round_step(vectors[0], sqnorms[0], levels[0],
-                         tuple((i[0], d[0]) for i, d in tables),
-                         batch_ids[0], entry[0], cfg=cfg)
-        return tuple((i[None], d[None]) for i, d in out)
+    def local_round(vectors, sqnorms, levels, tables, batch_ids, entry, indeg):
+        out, ind = round_step(vectors[0], sqnorms[0], levels[0],
+                              tuple((i[0], d[0]) for i, d in tables),
+                              batch_ids[0], entry[0], None, indeg[0], cfg=cfg)
+        return tuple((i[None], d[None]) for i, d in out), ind[None]
 
     nL = cfg.num_layers
     sm = shard_map(local_round, mesh,
                    in_specs=(P(axis), P(axis), P(axis),
                              tuple((P(axis), P(axis)) for _ in range(nL)),
-                             P(axis), P(axis)),
-                   out_specs=tuple((P(axis), P(axis)) for _ in range(nL)))
-    return jax.jit(sm, donate_argnums=(3,))
+                             P(axis), P(axis), P(axis)),
+                   out_specs=(tuple((P(axis), P(axis)) for _ in range(nL)),
+                              P(axis)))
+    return jax.jit(sm, donate_argnums=(3, 6))
 
 
 _PROGRAM_CACHE: dict = {}  # (kind, mesh, axis, cfg...) -> jitted shard_map program

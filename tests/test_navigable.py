@@ -98,9 +98,12 @@ def test_ensure_navigable_idempotent(rng):
     assert again == 0  # the build-finalize hook already repaired
 
 
-def test_repaired_graph_dump_reload_roundtrip(rng, tmp_path):
+def test_repaired_graph_dump_reload_roundtrip(rng, tmp_path, monkeypatch):
     """Reserve columns survive the reference-format dump in the Python tier
-    (the reader must not truncate rows wider than the M-derived default)."""
+    (the reader must not truncate rows wider than the M-derived default).
+    Built with the in-degree guarantee OFF: the protected merge leaves this
+    corpus fully navigable, so widening (the subject under test) never fires."""
+    monkeypatch.setenv("HNSW_BUILD_PROTECT", "0")
     n, d = 3000, 16
     X = _clustered(rng, n, d, n_clusters=12)
     h = Hnsw(max_nb_connection=8, max_elements=n, ef_construction=48, dist="L2")
@@ -114,13 +117,15 @@ def test_repaired_graph_dump_reload_roundtrip(rng, tmp_path):
     assert reach.all()
 
 
-def test_repaired_graph_native_roundtrip(rng):
+def test_repaired_graph_native_roundtrip(rng, monkeypatch):
     """Reserve columns survive a native import/export round trip
-    (hnsw_layer_max_row / hnsw_export_layer_w)."""
+    (hnsw_layer_max_row / hnsw_export_layer_w). Protection off — see
+    test_repaired_graph_dump_reload_roundtrip."""
     import shutil
     if shutil.which("g++") is None:
         pytest.skip("no C++ toolchain")
     from hnsw_tpu.ffi import NativeHnsw
+    monkeypatch.setenv("HNSW_BUILD_PROTECT", "0")
     n, d = 3000, 16
     X = _clustered(rng, n, d, n_clusters=12)
     h = Hnsw(max_nb_connection=8, max_elements=n, ef_construction=48, dist="L2")
@@ -171,9 +176,11 @@ def test_repaired_graph_codec_alignment(rng):
     assert (ids2[:, 0] == ids_e[:, 0]).mean() >= 0.8
 
 
-def test_grow_width_quantum_is_aligned(rng):
+def test_grow_width_quantum_is_aligned(rng, monkeypatch):
     """The repair's reserve-column growth lands on 8-aligned widths, so the
-    default (unpadded) codec build stays fused-kernel eligible."""
+    default (unpadded) codec build stays fused-kernel eligible. Protection
+    off — see test_repaired_graph_dump_reload_roundtrip."""
+    monkeypatch.setenv("HNSW_BUILD_PROTECT", "0")
     n, d = 3000, 16
     X = _clustered(rng, n, d, n_clusters=12)
     h = Hnsw(max_nb_connection=8, max_elements=n, ef_construction=48, dist="L2")
@@ -185,9 +192,11 @@ def test_grow_width_quantum_is_aligned(rng):
     assert h.device_codec().M0 == t.width
 
 
-def test_repaired_graph_npz_roundtrip(rng, tmp_path):
+def test_repaired_graph_npz_roundtrip(rng, tmp_path, monkeypatch):
     """VERDICT r3 weak #2: save_native/load_native of a widened graph — the
-    loader must grow the fresh table to the stored width before assigning."""
+    loader must grow the fresh table to the stored width before assigning.
+    Protection off — see test_repaired_graph_dump_reload_roundtrip."""
+    monkeypatch.setenv("HNSW_BUILD_PROTECT", "0")
     from hnsw_tpu.io.hnswio import load_native
     n, d = 3000, 16
     X = _clustered(rng, n, d, n_clusters=12)
@@ -221,11 +230,12 @@ def test_pallas_gate_rejects_misaligned_m0(monkeypatch):
     assert not bs._pallas_scores_ok(8, 25, 48)    # existing d gate still holds
 
 
-def test_repair_budget_truncation_bumps_version(rng):
+def test_repair_budget_truncation_bumps_version(rng, monkeypatch):
     """ADVICE r4 (medium): the reachability budget early-return exited BEFORE
     the ``_version`` bump, so device/codec caches (keyed on _version) kept
     serving the pre-repair snapshot even though repair links were already in
     the layer tables. Every exit path must now bump when repairs > 0."""
+    monkeypatch.setenv("HNSW_BUILD_PROTECT", "0")  # starve in-degree on purpose
     n, d = 3000, 16
     X = _clustered(rng, n, d, n_clusters=12, spread=0.02)
     h = Hnsw(max_nb_connection=8, max_elements=n, ef_construction=48, dist="L2")
