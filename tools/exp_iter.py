@@ -100,6 +100,41 @@ def main():
             results[f"score_qt{qt}_s{slots}"] = row
             log(f"[iter] score qt={qt} slots={slots}:", json.dumps(row))
 
+    # ---- ids-carrying score kernel (the actual serving path since r4):
+    # gathers scores AND the expanded nodes' neighbor ids in one DMA pass ----
+    try:
+        from hnsw_tpu.ops.pallas_scores import pallas_fused_codec_scores_ids
+        del blocks  # 7.2 GB at 1M — both tables at once would brush HBM
+        RID = max(1, -(-4 * M0 // d))  # id rows: RID*d bytes >= 4*M0
+        blocks3 = jax.jit(lambda k: lax.bitcast_convert_type(
+            jax.random.bits(k, (N, M0 + RID, d), dtype=jnp.uint8), jnp.int8))(
+                jax.random.PRNGKey(8))
+        for qt in (int(x) for x in os.environ.get("IQT", "8,16").split(",")):
+            for slots in (int(x) for x in
+                          os.environ.get("ISLOTS", "2,4").split(",")):
+                @jax.jit
+                def chain_score_ids(src, q, qsn, scale, blocks3, qt=qt,
+                                    slots=slots):
+                    acc = jnp.float32(0)
+                    for _ in range(REPS):
+                        sc, nbr = pallas_fused_codec_scores_ids(
+                            src, q, qsn, scale, blocks3, E, M0, form="l2",
+                            qt=qt, slots=slots)
+                        bump = (sc[:, :E] > 0).astype(jnp.int32)
+                        src = (src + bump + (nbr[:, :E] & 1)) % (N - 1)
+                        acc = acc + sc[0, 0]
+                    return src, acc[None, None]
+
+                t = timed(chain_score_ids, src0, q, qsn, scale, blocks3)
+                ms = t / REPS * 1e3
+                row = dict(ms=round(ms, 3),
+                           gbps=round(B * E * (M0 + RID) * d / ms / 1e6, 1))
+                results[f"score_ids_qt{qt}_s{slots}"] = row
+                log(f"[iter] score_ids qt={qt} slots={slots}:", json.dumps(row))
+        del blocks3
+    except Exception as e:  # keep the rest of the decomposition alive
+        log("[iter] score_ids skipped:", repr(e))
+
     # ---- merge, chained ----
     bd0 = jnp.sort(jnp.asarray(rng.standard_normal((B, ef)).astype(np.float32)), axis=1)
     bi0 = jnp.asarray(rng.integers(0, N - 2, (B, ef), dtype=np.int32))
