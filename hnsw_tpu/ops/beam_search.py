@@ -88,6 +88,10 @@ def scores_matmul(metric_name: str, q, pv, psq):
         qn = jnp.linalg.norm(qf, axis=-1)[:, None]
         pn = jnp.sqrt(jnp.maximum(psq, 1e-20))[None, :]
         return 1.0 - g / jnp.maximum(qn * pn, 1e-10)
+    from .distances import get_metric
+    m = get_metric(metric_name)
+    if m.jnp_matmul_scores is not None:  # jnp-capable UserMetric
+        return m.jnp_matmul_scores(qf, pv, psq)
     raise NotImplementedError(f"pivot scan unsupported for {metric_name}")
 
 
@@ -631,35 +635,9 @@ _search_program = jax.jit(search_program,
                                            "pool", "seeds"))
 
 
-def search_program_super(g, qs, mask, *, ef: int, knbn: int, expand: int,
-                         use_mask: bool, max_iters=None, codec=None,
-                         term_slack: float = 1.0, rerank: Optional[int] = None,
-                         pool: Optional[int] = None, seeds: int = 1):
-    """S sub-batches in ONE device program: ``lax.map`` over ``qs [S, B, d]``.
-
-    The axon tunnel costs ~30 ms per host round trip (upload / dispatch / fetch),
-    so a B=4096 batch pays ~90-120 ms of pure latency — more than the beam loop
-    itself at 1M. Scanning S sub-batches inside one jitted call amortizes those
-    round trips S-fold while keeping the workspace at one sub-batch (the scan
-    reuses it), which is what bounds HBM at large corpus sizes."""
-    def one(q):
-        return search_program(g, q, mask, ef=ef, knbn=knbn, expand=expand,
-                              use_mask=use_mask, max_iters=max_iters, codec=codec,
-                              term_slack=term_slack, rerank=rerank, pool=pool,
-                              seeds=seeds)
-    return lax.map(one, qs)
-
-
-_search_program_super = jax.jit(search_program_super,
-                                static_argnames=("ef", "knbn", "expand",
-                                                 "use_mask", "max_iters",
-                                                 "term_slack", "rerank", "pool",
-                                                 "seeds"))
-
-
 def device_search_stream(hnsw, queries: np.ndarray, knbn: int, ef: int,
                          batch: int = 4096, expand: int = 4, max_iters=None,
-                         term_slack: float | None = None, super_batches: int = 1,
+                         term_slack: float | None = None,
                          rerank: int | None = None, query_dtype=None,
                          filter=None, pool: int | None = None, seeds: int = 4):
     """Pipelined serving: dispatch work unit i+1 before fetching unit i, so host
@@ -672,11 +650,10 @@ def device_search_stream(hnsw, queries: np.ndarray, knbn: int, ef: int,
     ~40k QPS). ~0.05% query rounding; recall deltas are measurable, not hidden
     (ground truth is scored against the original f32 queries).
 
-    ``super_batches`` > 1 runs groups of S sub-batches as ONE device program
-    (``search_program_super``), paying host round-trip latency once per group
-    while HBM workspace stays at one ``batch`` (the in-program scan reuses it).
-    Measured neutral on the axon tunnel (its pipelining already hides the RTTs)
-    — useful for high-latency links or host-constrained serving; default 1.
+    (A ``super_batches`` lax.map grouping existed through round 4 — S
+    sub-batches per device program to amortize host round trips — but measured
+    NEUTRAL here: the pipeline's threads already hide the tunnel RTTs. Removed
+    as dead weight, VERDICT r4 weak #8/next #10.)
 
     ``filter``: optional FilterT (ids/callable/mask) applied IN-SEARCH, same
     semantics as ``device_search_batch`` — the [cap1] mask uploads ONCE for the
@@ -704,18 +681,7 @@ def device_search_stream(hnsw, queries: np.ndarray, knbn: int, ef: int,
     use_mask = filter is not None
     out_i = np.full((nq, knbn), -1, np.int64)
     out_d = np.full((nq, knbn), np.inf, np.float32)
-    S = max(1, int(super_batches))
-    SB = batch * S
-    work = []  # (start, end, is_super)
-    s = 0
-    while s < nq:
-        if S > 1 and nq - s >= SB:
-            work.append((s, s + SB, True))
-            s += SB
-        else:
-            e = min(s + batch, nq)
-            work.append((s, e, False))
-            s = e
+    work = [(s, min(s + batch, nq)) for s in range(0, nq, batch)]
     # Three-stage pipeline (ops/stream.py): upload, dispatch, and fetch each
     # ride their own thread, so the synchronous host<->device transfers (the
     # axon tunnel moves ~22 MB/s BOTH ways) overlap compute instead of
@@ -724,22 +690,13 @@ def device_search_stream(hnsw, queries: np.ndarray, knbn: int, ef: int,
     from .stream import pipelined_stream
 
     def _upload(w):
-        ws, we, is_super = w
+        ws, we = w
         qb = q[ws:we]
-        if is_super:
-            return jnp.asarray(qb.reshape(S, batch, -1))
         if we - ws < batch:  # pad the tail batch
             qb = np.concatenate([qb, np.repeat(qb[-1:], batch - (we - ws), 0)])
         return jnp.asarray(qb)
 
     def _dispatch(w, dev):
-        ws, we, is_super = w
-        if is_super:
-            ids, dists = _search_program_super(
-                g, dev, mask, ef=int(ef), knbn=int(knbn), expand=int(expand),
-                use_mask=use_mask, max_iters=max_iters, codec=codec,
-                term_slack=slack, rerank=rerank, pool=pool, seeds=seeds)
-            return ids.reshape(SB, -1), dists.reshape(SB, -1)
         return _search_program(g, dev, mask, ef=int(ef), knbn=int(knbn),
                                expand=int(expand), use_mask=use_mask,
                                max_iters=max_iters, codec=codec,
@@ -747,7 +704,7 @@ def device_search_stream(hnsw, queries: np.ndarray, knbn: int, ef: int,
                                seeds=seeds)
 
     def _fetch(w, out):
-        ws, we, _ = w
+        ws, we = w
         ids, dists = out
         ids_h = np.array(ids)[: we - ws]
         d_h = np.array(dists)[: we - ws]

@@ -312,13 +312,33 @@ class Metric:
         return self.np_batch(q if q.ndim == 2 else q[None, :], np.asarray(X))
 
 
+# User metrics that carry a device kernel, by name. Device programs resolve
+# metrics by NAME at trace time (the name is a hashable static jit arg; the
+# callable is not), so a jnp-capable UserMetric registers itself here and
+# ``get_metric`` falls back to this dict after the builtin table. One binding
+# per name per process: jitted programs cache by name, so silently rebinding a
+# name to a different function would serve stale traces — hence the conflict
+# error below.
+_USER_METRICS: dict = {}
+
+
 class UserMetric(Metric):
     """Analog of the reference's ``DistPtr`` / ``DistCFFI`` (user-supplied distance,
     reference ``src/hnswio.rs:1483-1507``, ``src/libext.rs:643-655``): wraps an arbitrary
-    Python pair function. Device paths fall back to host evaluation unless a
-    jax-traceable ``jnp_scores`` is supplied."""
+    Python pair function.
 
-    def __init__(self, fn: Callable, name: str = "DistPtr", jnp_scores: Optional[Callable] = None):
+    Device tier: pass ``jnp_scores`` (a jax-traceable ``[B,d] x [B,K,d] -> [B,K]``
+    scores fn) and the metric runs the full device insert/search paths —
+    the TPU-native reading of the reference's ``DistPtr`` closures riding its
+    ``parallel_insert``/``parallel_search`` thread pools (``src/hnsw.rs:1601-1635``).
+    Optionally also ``jnp_matmul_scores`` (``[B,d] x [N,d] (+sqnorms) -> [B,N]``)
+    to enable the MXU paths (exact-scan tier, pivot entry). Without ``jnp_scores``
+    device modes fall back to host evaluation. Names must be unique per process
+    when a device kernel is attached (compiled programs cache by name)."""
+
+    def __init__(self, fn: Callable, name: str = "DistPtr",
+                 jnp_scores: Optional[Callable] = None,
+                 jnp_matmul_scores: Optional[Callable] = None):
         def batch(q, X):
             q = np.asarray(q)
             X = np.asarray(X)
@@ -329,8 +349,21 @@ class UserMetric(Metric):
         object.__setattr__(self, "name", name)
         object.__setattr__(self, "np_batch", batch)
         object.__setattr__(self, "jnp_scores", jnp_scores)
-        object.__setattr__(self, "jnp_matmul_scores", None)
+        object.__setattr__(self, "jnp_matmul_scores", jnp_matmul_scores)
         object.__setattr__(self, "needs_normalized", False)
+        object.__setattr__(self, "_fn", fn)
+        if jnp_scores is not None or jnp_matmul_scores is not None:
+            if name in DISTANCES:
+                raise ValueError(f"user metric name {name!r} shadows a builtin")
+            prev = _USER_METRICS.get(name)
+            if prev is not None and (prev.jnp_scores, prev.jnp_matmul_scores,
+                                     prev._fn) != (jnp_scores,
+                                                   jnp_matmul_scores, fn):
+                raise ValueError(
+                    f"user metric name {name!r} is already registered with a "
+                    "different function; device programs cache compiled traces "
+                    "by metric name — pick a unique name per metric")
+            _USER_METRICS[name] = self
 
 
 def _mk(name, np_batch, jnp_scores=None, jnp_matmul=None, needs_normalized=False):
@@ -366,6 +399,10 @@ def get_metric(dist) -> Metric:
         return UserMetric(dist)
     try:
         return DISTANCES[dist]
+    except KeyError:
+        pass
+    try:
+        return _USER_METRICS[dist]  # jnp-capable UserMetric, resolved by name
     except KeyError:
         raise ValueError(f"unknown distance {dist!r}; known: {sorted(set(DISTANCES))}") from None
 

@@ -227,8 +227,9 @@ def compute_pivots(hnsw, layer0_ids, n: int):
     reachability guarantee covers exactly the seeds search starts from.
     """
     pivot_count = getattr(hnsw, "_pivot_count", None)
-    if (pivot_count == 0 or n < PIVOT_MIN_POINTS
-            or hnsw.metric.name not in _PIVOT_METRICS):
+    has_matmul = (hnsw.metric.name in _PIVOT_METRICS
+                  or hnsw.metric.jnp_matmul_scores is not None)  # UserMetric
+    if pivot_count == 0 or n < PIVOT_MIN_POINTS or not has_matmul:
         return None
     from .components import select_pivots
     base = np.flatnonzero(hnsw._level[:n] >= 1)
