@@ -435,30 +435,33 @@ def main():
         qk = jnp.asarray(qk.astype(np.float16 if QDTYPE else np.float32))
         mi = max(8, int(chosen_ef) // int(EXPAND) + 2)
 
-        def _mk_prog(S):
-            def prog(qs):
-                def one(q):
-                    return search_program(
-                        g, q, None, ef=int(chosen_ef), knbn=int(k),
-                        expand=int(EXPAND), use_mask=False, max_iters=mi,
-                        codec=codec, term_slack=_resolve_slack(None, codec),
-                        rerank=None, pool=POOL, seeds=4)
-                return lax.map(one, qs)
-            return jax.jit(prog)
+        slack = _resolve_slack(None, codec)
 
-        p1, p2 = _mk_prog(S1), _mk_prog(S2)
+        # g/codec ride as PYTREE ARGS, never closure constants: captured
+        # constants re-upload with the program (2 GB at 200k — HTTP 413 on the
+        # remote-compile path, and a 90 s tunnel stall even when it fits)
+        def prog(gg, cc, qs):
+            def one(q):
+                return search_program(
+                    gg, q, None, ef=int(chosen_ef), knbn=int(k),
+                    expand=int(EXPAND), use_mask=False, max_iters=mi,
+                    codec=cc, term_slack=slack, rerank=None, pool=POOL,
+                    seeds=4)
+            return lax.map(one, qs)
 
-        def _timed(prog, qs):
+        pj = jax.jit(prog)
+
+        def _timed(qs):
             t0 = time.time()
-            out = prog(qs)
+            out = pj(g, codec, qs)
             np.asarray(out[0][0, 0, 0])  # force (block_until_ready is a no-op)
             return time.time() - t0
 
-        _timed(p1, qk[:S1]), _timed(p2, qk)  # compile + warm both
+        _timed(qk[:S1]), _timed(qk)  # compile + warm both S shapes
         diffs = []
         for _ in range(5):
-            t1 = _timed(p1, qk[:S1])
-            t2 = _timed(p2, qk)
+            t1 = _timed(qk[:S1])
+            t2 = _timed(qk)
             if t2 > t1:
                 diffs.append((S2 - S1) * QB / (t2 - t1))
         if diffs:

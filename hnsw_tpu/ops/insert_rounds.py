@@ -728,6 +728,7 @@ def device_parallel_insert(hnsw, pairs, batch_size: Optional[int] = None,
     # HNSW_BUILD_PROTECT=0 restores the unprotected merge for A/B runs
     protect = _os.environ.get("HNSW_BUILD_PROTECT", "1") != "0"
     indeg0 = jnp.asarray(st.indeg0_np()) if protect else None
+    min_indeg = int(_os.environ.get("HNSW_MIN_INDEG", 2))  # protection depth
     from ..utils.profiling import PROFILER
     PROFILER.add("build.points", st.remaining)
     while st.remaining:
@@ -742,7 +743,7 @@ def device_parallel_insert(hnsw, pairs, batch_size: Optional[int] = None,
                           nonempty=nonempty,
                           keep_pruned=bool(hnsw.keep_pruned),
                           extend=bool(hnsw.extend_candidates), B1=B1,
-                          max_iters=build_max_iters)
+                          max_iters=build_max_iters, min_indeg=min_indeg)
         with PROFILER.span("build.round"):
             out = _round_step(vectors, sqnorms, levels_j, tables,
                               jnp.asarray(bidx), jnp.int32(entry),
