@@ -53,6 +53,12 @@ class AutoIndex:
     SCAN_MIN = 32_768       # below this even non-L2 metrics scan exactly
     HIGH_D = 512            # measured: 70k x 784 scan 14.3k vs graph 4.9k
     SCAN_BUDGET = 5.0e8     # N*d where the 42k-QPS 1M x 128 scan sits at ~3.8e8
+    # Clustered L2 scan->IVF handoff, from the measured 1M x 128 clustered
+    # point (r5): scan 30.1k @ 0.9944 vs IVF 11.5k @ 0.982 / 5.4k @ 0.9923 —
+    # the MXU full scan beats probing even at 1M. Scan cost is O(N*d) per
+    # query while IVF's >=0.98 rate is ~flat in N (fixed nprobe/C fraction),
+    # so the projected crossover is 30.1k/11.5k * 1M*128 ~ 3.4e8.
+    IVF_BUDGET = 3.3e8
     IVF_CLUSTEREDNESS = 0.65  # sampled quantization gain; gauss-16 ~0.4,
     # the clustered gate ~0.8+ (see models/ivf.clusteredness)
 
@@ -111,12 +117,13 @@ class AutoIndex:
             return "scan"
         X = np.stack(self._buf_v[: 8192])
         if clusteredness(X) >= self.IVF_CLUSTEREDNESS:
-            # Clustered L2 regime, measured at the 200k gate: exact scan
-            # 31.3k QPS @ 0.9938 beats both the graph (flat 0.85 recall
-            # ceiling at ef=512 — structural, not under-explored) and IVF
-            # (10.4k @ 0.9856 at nprobe=32). IVF takes over only past the
-            # scan's O(N*d) budget, where sqrt(N)-scaling wins by default.
-            return "scan" if n * d <= self.SCAN_BUDGET else "ivf"
+            # Clustered L2 regime, measured at BOTH gates: exact scan beats
+            # the graph (in-degree-guaranteed builds plateau ~0.97; pre-fix
+            # 0.85 ceiling at ef=512 — structural) AND IVF (200k: 31.3k @
+            # 0.9938 vs 10.4k @ 0.9856; 1M: 30.1k @ 0.9944 vs 11.5k @ 0.982).
+            # IVF takes over only past IVF_BUDGET, where the scan's O(N*d)
+            # per-query cost projects below IVF's ~N-flat probe rate.
+            return "scan" if n * d <= self.IVF_BUDGET else "ivf"
         if self.recall_target >= 0.99 and n * d <= self.SCAN_BUDGET:
             return "scan"
         return "hnsw"
