@@ -254,8 +254,19 @@ def main():
         run_once()
         per = max(time.time() - t0, 1e-3)
         reps = max(1, int(np.ceil(min_block_s / per)))
-        for _ in range(reps):  # discarded warm-up block
-            run_once()
+        # adaptive warm-up: discard blocks until two consecutive ones agree
+        # within 5% (r05 1M blocks still trended upward 42->48k across the
+        # window after a single fixed warm-up block — cold caches + TCP
+        # windows opening), bounded at 4 warm-up blocks
+        prev = None
+        for _ in range(4):
+            t0 = time.time()
+            for _ in range(reps):
+                run_once()
+            s = reps * qcount / (time.time() - t0)
+            if prev is not None and abs(s / prev - 1.0) < 0.05:
+                break
+            prev = s
         samples, discarded = [], 0
         while len(samples) < blocks:
             t0 = time.time()

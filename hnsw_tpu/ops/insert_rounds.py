@@ -715,6 +715,18 @@ def device_parallel_insert(hnsw, pairs, batch_size: Optional[int] = None,
     levels_j = jnp.asarray(st.levels_np())
     tables = tuple((jnp.asarray(i), jnp.asarray(d)) for i, d in st.tables_np())
     B = int(batch_size) if batch_size else int(min(4096, max(64, st.remaining)))
+    if hnsw.extend_candidates:
+        # the widen pass gathers neighbors-of-candidates: a [B*(2M)^2, d] f32
+        # einsum operand. At B=16384/M=24/d=128 that is 19.3 GB — over v5e
+        # HBM (measured abort). Cap the round size so the operand stays ~<6 GB.
+        d_ = hnsw._dim or 1
+        cap = max(256, int(6e9 / ((2 * hnsw.max_nb_connection) ** 2 * d_ * 4)))
+        if B > cap:
+            from ..utils.logging import init_logging
+            init_logging().warning(
+                "extend_candidates: capping build batch %d -> %d (widen-pass "
+                "HBM bound)", B, cap)
+            B = cap
     metric = hnsw.metric.name
     # bf16 traversal copy (see round_step): production-scale inner-product
     # builds only — small builds keep exact f32 (unit-test determinism), and
