@@ -93,7 +93,13 @@ def main():
                     acc = acc + sc[0, 0]
                 return src, acc[None, None]
 
-            t = timed(chain_score, src0, q, qsn, scale, blocks)
+            try:
+                t = timed(chain_score, src0, q, qsn, scale, blocks)
+            except Exception as e:  # e.g. slots=8 exceeds the ~2 KB sflag
+                # (DMA semaphore) scoped budget — record and keep sweeping
+                log(f"[iter] score qt={qt} slots={slots} failed:",
+                    repr(e)[:160])
+                continue
             ms = t / REPS * 1e3
             row = dict(ms=round(ms, 3),
                        gbps=round(B * E * M0 * d / ms / 1e6, 1))
@@ -105,7 +111,12 @@ def main():
     try:
         from hnsw_tpu.ops.pallas_scores import pallas_fused_codec_scores_ids
         del blocks  # 7.2 GB at 1M — both tables at once would brush HBM
-        RID = max(1, -(-4 * M0 // d))  # id rows: RID*d bytes >= 4*M0
+        # id rows: RID*d bytes >= 4*M0, AND M0+RID 8-aligned (Mosaic slices
+        # the [cap1, M0+RID, d] table along dim 1 in sublane-tile units — a
+        # 58-row slice aborts with "must be aligned to tiling (8)"; the real
+        # BeamCodec pads the same way)
+        RID = max(1, -(-4 * M0 // d))
+        RID += (-(M0 + RID)) % 8
         blocks3 = jax.jit(lambda k: lax.bitcast_convert_type(
             jax.random.bits(k, (N, M0 + RID, d), dtype=jnp.uint8), jnp.int8))(
                 jax.random.PRNGKey(8))
@@ -125,7 +136,12 @@ def main():
                         acc = acc + sc[0, 0]
                     return src, acc[None, None]
 
-                t = timed(chain_score_ids, src0, q, qsn, scale, blocks3)
+                try:
+                    t = timed(chain_score_ids, src0, q, qsn, scale, blocks3)
+                except Exception as e:
+                    log(f"[iter] score_ids qt={qt} slots={slots} failed:",
+                        repr(e)[:160])
+                    continue
                 ms = t / REPS * 1e3
                 row = dict(ms=round(ms, 3),
                            gbps=round(B * E * (M0 + RID) * d / ms / 1e6, 1))
