@@ -76,10 +76,22 @@ def make_dataset(kind, rng, n, nq, d, intrinsic):
     # intermediates at 1M x 128 are GBs of fresh pages, and first-touch page
     # zeroing on this microVM has been observed to run ~1000x below DRAM rate
     # (kernel folio_zero_user storms), turning a seconds-long step into hours.
+    # CORPUS DRAWS MUST NOT DEPEND ON nq: every X draw happens on a dedicated
+    # stream (xrng), queries on another (qrng), both forked deterministically
+    # from the caller's rng. Historically X's +-0.02 noise was drawn from the
+    # shared stream AFTER the nq-sized query draws, so the same seed with a
+    # different BENCH_QBATCH produced a DIFFERENT corpus — any cross-process
+    # harness that recreated the dataset to score a saved snapshot (exp_search,
+    # one-off diagnostics) silently scored against mismatched vectors and
+    # manufactured a fake ~3.3-point "reload regression" (round 5). With the
+    # forked streams, X is a function of (seed, n, d, intrinsic) only and
+    # Q of (seed, nq, d, intrinsic) only.
+    xrng = np.random.default_rng(rng.integers(2**63))
+    qrng = np.random.default_rng(rng.integers(2**63))
     A = rng.standard_normal((intrinsic, d)).astype(np.float32) / np.sqrt(intrinsic)
     if kind == "gauss":
-        Z = rng.standard_normal((n, intrinsic), dtype=np.float32)
-        Zq = rng.standard_normal((nq, intrinsic), dtype=np.float32)
+        Z = xrng.standard_normal((n, intrinsic), dtype=np.float32)
+        Zq = qrng.standard_normal((nq, intrinsic), dtype=np.float32)
     elif kind == "clustered":
         C = int(os.environ.get("BENCH_CLUSTERS", max(64, n // 4000)))
         w = rng.lognormal(0.0, 1.2, C)
@@ -87,30 +99,31 @@ def make_dataset(kind, rng, n, nq, d, intrinsic):
         centers = 4.0 * rng.standard_normal((C, intrinsic))
         sig = rng.lognormal(-0.4, 0.6, C)
 
-        def draw(m, counts):
+        def draw(g, m, counts):
             Z = np.empty((m, intrinsic), np.float32)
             ofs = 0
             for c in range(C):
                 k = int(counts[c])
                 Z[ofs:ofs + k] = (centers[c]
-                                  + sig[c] * rng.standard_t(4, (k, intrinsic)))
+                                  + sig[c] * g.standard_t(4, (k, intrinsic)))
                 ofs += k
             return Z
 
-        Z = draw(n, rng.multinomial(n, w))  # cluster-ordered on purpose
+        Z = draw(xrng, n, xrng.multinomial(n, w))  # cluster-ordered on purpose
         nq_bg = nq // 10
-        Zq = np.concatenate([draw(nq - nq_bg, rng.multinomial(nq - nq_bg, w)),
-                             4.0 * rng.standard_normal((nq_bg, intrinsic))
+        Zq = np.concatenate([draw(qrng, nq - nq_bg,
+                                  qrng.multinomial(nq - nq_bg, w)),
+                             4.0 * qrng.standard_normal((nq_bg, intrinsic))
                              .astype(np.float32)])
-        Zq = Zq[rng.permutation(nq)]
+        Zq = Zq[qrng.permutation(nq)]
     else:
         raise ValueError(f"unknown BENCH_DATASET {kind!r}")
     X = np.matmul(Z.astype(np.float32), A)
     for s in range(0, n, 65536):  # chunked in-place noise: no [n, d] f64 temp
         e = min(s + 65536, n)
-        X[s:e] += 0.02 * rng.standard_normal((e - s, d), dtype=np.float32)
+        X[s:e] += 0.02 * xrng.standard_normal((e - s, d), dtype=np.float32)
     Q = np.matmul(Zq.astype(np.float32), A)
-    Q += 0.02 * rng.standard_normal((nq, d), dtype=np.float32)
+    Q += 0.02 * qrng.standard_normal((nq, d), dtype=np.float32)
     return X, Q
 
 

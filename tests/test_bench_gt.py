@@ -36,3 +36,24 @@ def test_pool_gt_matches_host_oracle():
         kth_pool[b] = np.sqrt(np.partition((dv * dv).sum(-1), k - 1)[k - 1])
 
     np.testing.assert_allclose(kth_pool, kth_host, rtol=0, atol=0)
+
+
+def test_make_dataset_corpus_independent_of_nq():
+    """Round-5 regression: the corpus must be a function of (seed, n, d,
+    intrinsic) ONLY. Historically X's noise was drawn from the shared rng
+    stream AFTER the nq-sized query draws, so recreating the dataset with a
+    different BENCH_QBATCH produced a DIFFERENT corpus — cross-process
+    harnesses scoring a saved snapshot against the recreation measured a fake
+    ~3-point recall regression."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from bench import make_dataset
+
+    for kind in ("gauss", "clustered"):
+        X1, Q1 = make_dataset(kind, np.random.default_rng(1234), 3000, 64, 32, 8)
+        X2, Q2 = make_dataset(kind, np.random.default_rng(1234), 3000, 256, 32, 8)
+        np.testing.assert_array_equal(X1, X2)
+        # and queries are reproducible for a given nq
+        _, Q3 = make_dataset(kind, np.random.default_rng(1234), 3000, 64, 32, 8)
+        np.testing.assert_array_equal(Q1, Q3)
+        assert Q1.shape == (64, 32) and Q2.shape == (256, 32)

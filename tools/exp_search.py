@@ -11,6 +11,13 @@ Env knobs: EXP_SNAP (snapshot path), EXP_N, EXP_D, EXP_DATASET, EXP_GRID
 default), EXP_BLOCKS (timed blocks per variant, default 5).
 
 Run via the TPU worker: jobs exec this file from disk so it is always fresh.
+
+CORPUS RECREATION HAZARD (round 5): snapshots carry the corpus as built; this
+harness recreates X/Q from the seed. bench.make_dataset is corpus-stable across
+nq only since the xrng/qrng fork fix — snapshots saved by the PRE-fix bench
+with BENCH_QBATCH != 16384 recreate a DIFFERENT X here (the old X noise was
+drawn after the nq-sized query draws) and score a fake ~3-point recall
+regression. Regenerate such snapshots before trusting recall rows.
 """
 import json
 import os
