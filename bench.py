@@ -21,7 +21,10 @@ Environment knobs: BENCH_N (default 200000), BENCH_D (128), BENCH_M (24),
 BENCH_EFC (400), BENCH_SCALE (0.5 level scale — the reference's own best SIFT1M
 rows use scale=0.5, examples/ann-sift1m-128-euclidean.rs:30-44; efc=400/scale=0.5
 measured +0.005-0.008 recall-per-ef over efc=200/scale=1 at 1M),
-BENCH_BATCH (16384 build batch), BENCH_QBATCH (16384 query batch),
+BENCH_BATCH (16384 build batch; the default self-caps at the largest pow2
+<= N/8 — giant synchronized rounds on small corpora degrade graph quality;
+setting BENCH_BATCH explicitly bypasses the cap), BENCH_QBATCH (16384 query
+batch),
 BENCH_BUILD_MAXITERS (96 construction-beam iter cap; 0 = uncapped),
 BENCH_SCANB (2048 exact-scan query batch),
 BENCH_BUILD (device|native), BENCH_INTRINSIC (16), BENCH_RECALL (0.98),
@@ -152,6 +155,15 @@ def main():
     # (1169 vs 1253). Bigger rounds amortize the per-round host bookkeeping;
     # the iter cap bounds the construction beam's while_loop tail.
     BB = int(os.environ.get("BENCH_BATCH", 16384))
+    # Round-size/quality guard: intra-round points don't see each other
+    # (synchronized-rounds contract), so giant rounds on small corpora build
+    # measurably worse graphs — measured 40k @ B=16384 (~40% of the corpus in
+    # ONE round): 0.918 @ ef=64 vs 0.990 at 200k @ the same B (13 rounds).
+    # Default caps at the largest power of two <= N/8 (pow2 keeps the round
+    # shapes on the ramp's cached compile footprint); an explicit BENCH_BATCH
+    # is respected as-is. 200k/1M defaults are unchanged (cap >= 16384).
+    if "BENCH_BATCH" not in os.environ and N >= 2048:
+        BB = min(BB, 1 << max(11, (N // 8).bit_length() - 1))
     # Query batch: the beam iteration is a latency floor (5.4 ms, measured
     # batch-size-independent at B=4096..8192), so QPS scales with B until the
     # iteration finally grows. Measured at 1M x 128 (ef=64/80/96): B=16384 runs
